@@ -1,0 +1,109 @@
+"""Configuration dataclasses.
+
+The reference hard-codes its camera model and effect constants across several
+files (focal/baseline 512/120 at utils/pipeline.py:26-27, 75 steps at
+utils/pipeline.py:104, 25 fps at utils/pipeline.py:132, laplacian validity
+threshold 0.03 at utils/common.py:28, default crop windows at kbe.py:128-140).
+Here they are explicit, hashable config objects so they can be closed over by
+``jax.jit`` as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera model used for unprojection and splatting.
+
+    Reference: utils/pipeline.py:26-27 (inference), train.py:21-33 (training
+    datasets use focal/baseline 512/74, 512/120, 770/12).
+    """
+
+    focal: float = 512.0
+    baseline: float = 120.0
+
+    def with_focal(self, focal: float) -> "CameraConfig":
+        return dataclasses.replace(self, focal=focal)
+
+
+@dataclasses.dataclass(frozen=True)
+class ZoomWindow:
+    """A crop window: center (u, v) in pixels + crop size in pixels.
+
+    Reference: the ``objectFrom``/``objectTo`` dicts built at kbe.py:152-164.
+    """
+
+    center_u: float
+    center_v: float
+    crop_width: int
+    crop_height: int
+
+
+@dataclasses.dataclass(frozen=True)
+class ZoomSettings:
+    """Start/end crop windows of the Ken Burns move (kbe.py:166-169)."""
+
+    src: ZoomWindow
+    dst: ZoomWindow
+
+    @staticmethod
+    def default_3d(width: int, height: int) -> "ZoomSettings":
+        """Default 3D KBE move (kbe.py:128-133)."""
+        return ZoomSettings(
+            src=ZoomWindow(width / 2.15, height / 2.15,
+                           int(math.floor(0.90 * width)),
+                           int(math.floor(0.90 * height))),
+            dst=ZoomWindow(width / 1.85, height / 1.85,
+                           int(math.floor(0.85 * width)),
+                           int(math.floor(0.85 * height))),
+        )
+
+    @staticmethod
+    def default_dolly(width: int, height: int) -> "ZoomSettings":
+        """Default dolly-zoom move (kbe.py:135-140)."""
+        return ZoomSettings(
+            src=ZoomWindow(width / 2, height / 2,
+                           int(math.floor(0.8 * width)),
+                           int(math.floor(0.8 * height))),
+            dst=ZoomWindow(width / 2, height / 2,
+                           int(math.floor(0.3 * width)),
+                           int(math.floor(0.3 * height))),
+        )
+
+    def validate(self, width: int, height: int) -> None:
+        """Window-in-bounds asserts (kbe.py:142-146)."""
+        for name, w in (("src", self.src), ("dst", self.dst)):
+            if not (height >= w.center_v + w.crop_height / 2
+                    and w.center_v - w.crop_height / 2 >= 0):
+                raise ValueError(f"{name} window too tall for its center")
+            if not (width >= w.center_u + w.crop_width / 2
+                    and w.center_u - w.crop_width / 2 >= 0):
+                raise ValueError(f"{name} window too wide for its center")
+
+
+@dataclasses.dataclass(frozen=True)
+class EffectConfig:
+    """Knobs of the Ken Burns effect rendering loop.
+
+    Reference constants: 75 steps (utils/pipeline.py:104), 25 fps
+    (utils/pipeline.py:132), inpaint shift overshoot 1.1
+    (utils/common.py:218), laplacian validity threshold 0.03
+    (utils/common.py:28,70), depth-range crop margin 128
+    (utils/pipeline.py:96), disocclusion-fill march bound (ours: the
+    reference marches unbounded, utils/common.py:876-894; XLA needs a
+    static bound).
+    """
+
+    num_steps: int = 75
+    fps: int = 25
+    dolly: bool = False
+    two_d: bool = False
+    inpaint: bool = True
+    inpaint_overshoot: float = 1.1
+    validity_threshold: float = 0.03
+    depth_range_margin: int = 128
+    fill_march_steps: int = 128

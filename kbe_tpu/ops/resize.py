@@ -1,0 +1,75 @@
+"""Resizing and sub-pixel cropping.
+
+In-graph equivalents of the host-side cv2/torch image ops the reference
+leaks into its hot loop:
+  - resize_bilinear   <- torch F.interpolate(mode='bilinear',
+                         align_corners=False) (utils/utils.py:71) and
+                         cv2.resize INTER_LINEAR (utils/common.py:257) —
+                         both sample at half-pixel centers without
+                         antialiasing.
+  - resize_to_max     <- resize_image, utils/utils.py:60-73.
+  - crop_rect_subpix  <- cv2.getRectSubPix (utils/common.py:256): bilinear
+                         crop of a (possibly fractionally positioned) patch
+                         with replicated borders.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def resize_bilinear(image: jax.Array, height: int, width: int) -> jax.Array:
+    """Plain bilinear resize at half-pixel centers (no antialias).
+
+    ``image``: (..., H, W, C).
+    """
+    shape = image.shape[:-3] + (height, width, image.shape[-1])
+    return jax.image.resize(image, shape, method="bilinear", antialias=False)
+
+
+def resize_to_max(image: jax.Array, max_size: int) -> jax.Array:
+    """Aspect-preserving resize so the longer side equals ``max_size``.
+
+    Reference resize_image, utils/utils.py:60-73 (note it computes the new
+    dims with ``min(int(max_size * ratio), max_size)`` — reproduced).
+    ``image``: (B, H, W, C).
+    """
+    h, w = image.shape[-3], image.shape[-2]
+    ratio = float(w) / float(h)
+    new_w = min(int(max_size * ratio), max_size)
+    new_h = min(int(max_size / ratio), max_size)
+    return resize_bilinear(image, new_h, new_w)
+
+
+def _interp_axis(image: jax.Array, coords: jax.Array, axis: int) -> jax.Array:
+    """1-D linear interpolation along ``axis`` at float ``coords`` with
+    replicated (clamped) borders."""
+    n = image.shape[axis]
+    i0 = jnp.floor(coords)
+    frac = coords - i0
+    lo = jnp.clip(i0.astype(jnp.int32), 0, n - 1)
+    hi = jnp.clip(i0.astype(jnp.int32) + 1, 0, n - 1)
+    a = jnp.take(image, lo, axis=axis)
+    b = jnp.take(image, hi, axis=axis)
+    bshape = [1] * image.ndim
+    bshape[axis] = coords.shape[0]
+    frac = frac.reshape(bshape)
+    return a * (1.0 - frac) + b * frac
+
+
+def crop_rect_subpix(image: jax.Array, patch_width: int, patch_height: int,
+                     center_u, center_v) -> jax.Array:
+    """Bilinear sub-pixel patch extraction (cv2.getRectSubPix semantics).
+
+    Sample positions: ``center - (patch - 1)/2 + i``; out-of-image samples
+    replicate the border. ``image``: (H, W, C); patch dims are static,
+    centers may be traced. Returns (patch_height, patch_width, C).
+    """
+    xs = (jnp.arange(patch_width, dtype=jnp.float32) + center_u
+          - (patch_width - 1) / 2.0)
+    ys = (jnp.arange(patch_height, dtype=jnp.float32) + center_v
+          - (patch_height - 1) / 2.0)
+    out = _interp_axis(image, ys, axis=0)
+    out = _interp_axis(out, xs, axis=1)
+    return out
