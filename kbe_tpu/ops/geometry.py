@@ -114,6 +114,9 @@ def depth_range(depth: jax.Array, margin: int = 128):
 
     ``depth``: (H, W). Returns (min_depth, min_u, min_v) as f32 scalars.
     """
+    # Clamp so the crop stays non-empty for small images (the reference
+    # would index an empty slice below 257 px).
+    margin = min(margin, (depth.shape[0] - 1) // 2, (depth.shape[1] - 1) // 2)
     if margin > 0:
         cropped = depth[margin:-margin, margin:-margin]
     else:

@@ -1,0 +1,134 @@
+"""The point-cloud inpainting flow around the Inpaint network.
+
+Functional equivalent of ``Inpaint.pointcloud_inpainting`` + the cloud
+extension step (reference models/pointcloud_inpainting.py:185-213 and
+utils/common.py:47-81): render the shifted cloud with a 68-channel
+(image, disparity, context) payload, median-filter the coverage mask, feed
+the masked render through the inpainting grid-net, then unproject the
+inpainted pixels and un-shift them back into the global cloud frame.
+
+The reference mutates module state for the normalization stats and grows
+the cloud with ``torch.cat``; here stats are threaded explicitly and the
+cloud is a fixed-capacity buffer (see ops/geometry.PointCloud).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kbe_tpu.config import CameraConfig
+from kbe_tpu.ops.filters import median_filter, validity_mask
+from kbe_tpu.ops.geometry import depth_to_points, disparity_to_depth
+from kbe_tpu.ops.splat import render_pointcloud
+from kbe_tpu.models.layers import denormalize_sample, normalize_sample
+
+
+class InpaintModels(NamedTuple):
+    """Bound apply-functions of the inpainting stack.
+
+    ``context``: (image_n, disp_n) -> (B, H, W, 64) context features.
+    ``net``:     (data68, masks) -> (image_n, disparity_n, existing) where
+    ``existing`` is the coverage mask the net reports back — the input mask
+    for the standard grid-net (models/pointcloud_inpainting.py:178), the
+    propagated partial-conv mask for PartialInpaint
+    (models/partial_inpainting.py:218).
+    ``depth_net``: optional second net whose disparity output replaces the
+    first's (the ``--inpaint-depth`` dual-net mode, utils/pipeline.py:53-55;
+    the reference's merge code has a latent NameError — we implement the
+    documented intent: color from net 1, disparity from net 2).
+    """
+
+    context: Callable
+    net: Callable
+    depth_net: Optional[Callable] = None
+
+
+def pointcloud_inpainting(
+    models: InpaintModels,
+    image: jax.Array,
+    disparity: jax.Array,
+    shift: jax.Array,
+    camera: CameraConfig,
+    focal,
+    validity_threshold: float = 0.03,
+):
+    """Inpaint the disocclusions revealed by ``shift``.
+
+    Args:
+      image: (1, H, W, 3) raw image in [0, 1].
+      disparity: (1, H, W, 1) refined disparity.
+      shift: (3,) camera shift.
+      focal: effect focal (may differ from camera.focal under dolly).
+
+    Returns dict with (1, H, W, ...) arrays: ``image``, ``disparity``,
+    ``depth``, ``existing`` (coverage mask), and ``points`` (1, H*W, 3)
+    un-shifted inpainted cloud positions.
+    """
+    h, w = image.shape[1], image.shape[2]
+    depth = disparity_to_depth(disparity, focal, camera.baseline)
+    valid = validity_mask(disparity, validity_threshold)
+    points = depth_to_points((depth * valid)[..., 0], focal)
+    points = points.reshape(1, h * w, 3)
+
+    image_n, img_stats = normalize_sample(image)
+    disp_n, disp_stats = normalize_sample(disparity)
+    context = models.context(image_n, disp_n)
+    payload = jnp.concatenate([image_n, disp_n, context], axis=-1)
+
+    render, weight = render_pointcloud(
+        points + shift, payload.reshape(1, h * w, -1), h, w, focal,
+        camera.baseline)
+    existing = (weight > 0.0).astype(jnp.float32)
+    existing = existing * median_filter(existing, 5)
+    render = render * jax.lax.stop_gradient(existing)
+
+    def run(net):
+        img_n, dsp_n, existing_out = net(render, existing)
+        img = jnp.clip(denormalize_sample(img_n, img_stats), 0.0, 1.0)
+        dsp = jnp.maximum(denormalize_sample(dsp_n, disp_stats), 0.0)
+        return img, dsp, existing_out
+
+    out_image, out_disparity, out_existing = run(models.net)
+    if models.depth_net is not None:
+        _, out_disparity, _ = run(models.depth_net)
+
+    out_depth = disparity_to_depth(out_disparity, focal, camera.baseline)
+    out_valid = validity_mask(out_disparity, validity_threshold)
+    out_points = depth_to_points((out_depth * out_valid)[..., 0], focal)
+    out_points = out_points.reshape(1, h * w, 3) - shift
+
+    return {
+        "image": out_image,
+        "disparity": out_disparity,
+        "depth": out_depth,
+        "existing": out_existing,
+        "points": out_points,
+    }
+
+
+def extend_cloud(cloud_xyz, cloud_data, cloud_valid, inpainted):
+    """Append the newly revealed (existing == 0) inpainted points.
+
+    Fixed-capacity equivalent of the reference's ``torch.cat`` growth
+    (utils/common.py:75-80): each inpaint pass contributes exactly H*W
+    slots, masked by novelty.
+
+    ``cloud_data`` layout: (..., 5) = rgb3 + disparity + depth.
+    Returns extended (xyz, data, valid) with H*W more slots.
+    """
+    img = inpainted["image"]
+    h, w = img.shape[1], img.shape[2]
+    novel = (inpainted["existing"].reshape(1, h * w) == 0.0).astype(
+        jnp.float32)
+    data = jnp.concatenate(
+        [img.reshape(1, h * w, 3),
+         inpainted["disparity"].reshape(1, h * w, 1),
+         inpainted["depth"].reshape(1, h * w, 1)], axis=-1)
+    return (
+        jnp.concatenate([cloud_xyz, inpainted["points"]], axis=1),
+        jnp.concatenate([cloud_data, data], axis=1),
+        jnp.concatenate([cloud_valid, novel], axis=1),
+    )

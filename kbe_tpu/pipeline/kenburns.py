@@ -1,0 +1,299 @@
+"""The end-to-end 3D Ken Burns effect — one XLA program.
+
+Re-design of the reference's host-driven loop (utils/pipeline.py:59-134 +
+process_kenburns, utils/common.py:172-263). The reference crosses the
+device boundary per frame (cv2 crop at utils/common.py:255-257, scalar
+``.item()`` syncs at utils/pipeline.py:94-96) and launches 4 CUDA kernels
+per frame from Python; here the whole effect — depth estimation, refinement,
+cloud construction, two inpainting extensions, and all 75 posed renders with
+disocclusion fill, crop and resize — is a single jit-compiled function. The
+frame loop runs under ``lax.map`` with a chunked batch dimension so XLA
+vectorizes several poses at once without blowing HBM.
+
+Flagship path (BASELINE.md): image -> 75 x 1024^2 frames in one launch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kbe_tpu.config import CameraConfig, EffectConfig, ZoomSettings
+from kbe_tpu.models import (
+    Disparity,
+    Inpaint,
+    PartialInpaint,
+    Refine,
+    RefinePretrained,
+    Semantics,
+)
+from kbe_tpu.models.gridnet import ContextNet
+from kbe_tpu.ops.discfill import fill_disocclusion
+from kbe_tpu.ops.geometry import (
+    apply_shift,
+    depth_range,
+    depth_to_points,
+    disparity_to_depth,
+    interpolate_window,
+    solve_shift,
+)
+from kbe_tpu.ops.resize import crop_rect_subpix, resize_bilinear, resize_to_max
+from kbe_tpu.ops.splat import render_pointcloud
+from kbe_tpu.pipeline.inpaint_flow import (
+    InpaintModels,
+    extend_cloud,
+    pointcloud_inpainting,
+)
+
+
+def _step_focal(step: float, zoom: ZoomSettings, camera: CameraConfig,
+                dolly: bool) -> float:
+    """Dolly focal interpolation f*(1-s) + s*f*(wTo/wFrom)
+    (utils/common.py:225-227); constant otherwise."""
+    if not dolly:
+        return camera.focal
+    scaling = zoom.dst.crop_width / zoom.src.crop_width
+    return camera.focal * (1.0 - step) + step * camera.focal * scaling
+
+
+def _window_shift(step, zoom: ZoomSettings, width: int, height: int):
+    """Screen shift of the interpolated window center relative to the image
+    center, plus the interpolated crop width (utils/common.py:230-236)."""
+    cu, cv, cw, ch = interpolate_window(zoom.src, zoom.dst, step)
+    return cu - width / 2.0, cv - height / 2.0, cw
+
+
+def compute_pose_shift(step, focal, anchor, zoom: ZoomSettings,
+                       camera: CameraConfig, width: int, height: int):
+    """Camera shift for the pose at ``step`` in [0, 1].
+
+    ``anchor`` = (min_depth, min_u, min_v) from depth_range. The z target
+    scales the anchor depth by the crop ratio (utils/common.py:235-236).
+    """
+    dmin, du, dv = anchor
+    shift_u, shift_v, crop_w = _window_shift(step, zoom, width, height)
+    max_crop_w = max(zoom.src.crop_width, zoom.dst.crop_width)
+    depth_from = dmin
+    depth_to = dmin * (crop_w / max_crop_w)
+    return solve_shift(shift_u, shift_v, depth_from, depth_to, dmin, du, dv,
+                       width, height, focal)
+
+
+class PipelineParams(NamedTuple):
+    """Parameter pytree of the full inference stack."""
+
+    semantics: Any
+    disparity: Any
+    refine: Any
+    context: Any
+    inpaint: Any
+    context_depth: Any = None
+    inpaint_depth: Any = None
+
+
+def build_effect_fn(
+    height: int,
+    width: int,
+    zoom: ZoomSettings,
+    camera: CameraConfig = CameraConfig(),
+    effect: EffectConfig = EffectConfig(),
+    pretrained_refine: bool = False,
+    partial_inpainting: bool = False,
+    dtype: Any = jnp.float32,
+    frame_chunk: int = 5,
+) -> Callable:
+    """Build the jittable ``effect(params, image) -> frames`` function.
+
+    ``image``: (1, H, W, 3) in [0, 1] (BGR by cv2 convention unless the
+    caller feeds RGB, mirroring kbe.py:96-103). Returns (num_steps, H, W, 3)
+    float frames quantized to the uint8 grid in [0, 255].
+    """
+    if height % 4 or width % 4:
+        raise ValueError("image dims must be multiples of 4 (kbe.py:108-114)")
+    zoom.validate(width, height)
+
+    sem_def = Semantics(dtype=dtype)
+    disp_def = Disparity(dtype=dtype)
+    refine_def = (RefinePretrained if pretrained_refine else Refine)(
+        dtype=dtype)
+    ctx_def = ContextNet(dtype=dtype)
+    inpaint_def = (PartialInpaint if partial_inpainting else Inpaint)(
+        dtype=dtype)
+
+    steps = np.linspace(0.0, 1.0, effect.num_steps)
+    focals = np.array([_step_focal(s, zoom, camera, effect.dolly)
+                       for s in steps], np.float32)
+    max_cw = max(zoom.src.crop_width, zoom.dst.crop_width)
+    max_ch = max(zoom.src.crop_height, zoom.dst.crop_height)
+
+    def _net_apply(params, data, masks):
+        if partial_inpainting:
+            img, dsp, existing = inpaint_def.apply(params, data, masks)
+            return img, dsp, existing
+        img, dsp = inpaint_def.apply(params, data, masks)
+        return img, dsp, masks
+
+    def effect_fn(params: PipelineParams, image: jax.Array) -> jax.Array:
+        # --- depth estimation at half resolution (utils/pipeline.py:72-74)
+        resized = resize_to_max(image, max(height, width) // 2)
+        semantics = sem_def.apply(params.semantics, resized)
+        disp_half = disp_def.apply(params.disparity, resized, semantics)
+        if effect.two_d:
+            # 2D KBE: flat scene (utils/pipeline.py:75-76)
+            disp_half = jnp.ones_like(disp_half)
+
+        # --- refinement to full resolution + normalization (:78-81)
+        disparity = refine_def.apply(params.refine, image, disp_half)
+        disparity = disparity - jnp.minimum(jnp.min(disparity), 0.0)
+        disparity = disparity / jnp.max(disparity) * camera.baseline
+
+        depth = disparity_to_depth(disparity, camera.focal, camera.baseline)
+        points = depth_to_points(depth[..., 0], camera.focal)
+        points = points.reshape(1, height * width, 3)
+
+        # --- depth-range anchor, in-graph (replaces cv2.minMaxLoc, :96)
+        anchor = depth_range(depth[0, ..., 0], effect.depth_range_margin)
+
+        # --- cloud: rgb + disparity + depth payload
+        cloud_xyz = points
+        cloud_data = jnp.concatenate(
+            [image.reshape(1, -1, 3), disparity.reshape(1, -1, 1),
+             depth.reshape(1, -1, 1)], axis=-1)
+        cloud_valid = jnp.ones((1, height * width), jnp.float32)
+
+        # --- inpainting extension at the two effect endpoints
+        #     (utils/common.py:181-219; skipped for dolly/2-frame modes)
+        if effect.inpaint and not effect.dolly:
+            models = InpaintModels(
+                context=partial(ctx_def.apply, params.context),
+                net=partial(_net_apply, params.inpaint),
+                depth_net=(partial(_net_apply, params.inpaint_depth)
+                           if params.inpaint_depth is not None else None),
+            )
+            if models.depth_net is not None and params.context_depth is None:
+                raise ValueError("inpaint_depth requires context_depth")
+            for s in (0.0, 1.0):
+                shift = compute_pose_shift(s, camera.focal, anchor, zoom,
+                                           camera, width, height)
+                inpainted = pointcloud_inpainting(
+                    models, image, disparity, effect.inpaint_overshoot
+                    * shift, camera, camera.focal,
+                    effect.validity_threshold)
+                cloud_xyz, cloud_data, cloud_valid = extend_cloud(
+                    cloud_xyz, cloud_data, cloud_valid, inpainted)
+
+        # --- pose loop: render -> fill -> quantize -> crop -> resize
+        def render_frame(args):
+            step, focal = args
+            shift = compute_pose_shift(step, focal, anchor, zoom, camera,
+                                       width, height)
+            xyz = apply_shift(cloud_xyz, shift)
+            data = jnp.concatenate(
+                [cloud_data[..., 0:3], cloud_data[..., 4:5]], axis=-1)
+            render, weight = render_pointcloud(
+                xyz, data, height, width, focal, camera.baseline,
+                valid=cloud_valid)
+            render_depth = render[..., 3:4] * (weight > 0.0)
+            filled = fill_disocclusion(render, render_depth,
+                                       effect.fill_march_steps)
+            # uint8 quantization happens before crop in the reference
+            # (utils/common.py:255): clip + truncate.
+            rgb = jnp.floor(jnp.clip(filled[..., 0:3] * 255.0, 0.0, 255.0))
+            patch = crop_rect_subpix(rgb[0], max_cw, max_ch, width / 2.0,
+                                     height / 2.0)
+            out = resize_bilinear(patch[None], height, width)[0]
+            return out
+
+        xs = (jnp.asarray(steps, jnp.float32), jnp.asarray(focals))
+        frames = jax.lax.map(render_frame, xs, batch_size=frame_chunk)
+        return frames
+
+    return effect_fn
+
+
+@dataclasses.dataclass
+class KenBurnsPipeline:
+    """User-facing pipeline: owns model params and the jitted effect.
+
+    Equivalent surface to the reference Pipeline (utils/pipeline.py:23-134)
+    minus host-side video writing (see pipeline/video.py). Build with
+    ``KenBurnsPipeline.create`` (random init) or from converted torch
+    checkpoints via ``train.checkpoint.load_pipeline_params``.
+    """
+
+    camera: CameraConfig
+    effect: EffectConfig
+    params: PipelineParams
+    pretrained_refine: bool = False
+    partial_inpainting: bool = False
+    dtype: Any = jnp.float32
+    frame_chunk: int = 5
+    _cache: dict = dataclasses.field(default_factory=dict)
+
+    @staticmethod
+    def create(rng: jax.Array, height: int = 256, width: int = 256,
+               camera: CameraConfig = CameraConfig(),
+               effect: EffectConfig = EffectConfig(),
+               pretrained_refine: bool = False,
+               partial_inpainting: bool = False,
+               inpaint_depth: bool = False,
+               dtype: Any = jnp.float32) -> "KenBurnsPipeline":
+        keys = jax.random.split(rng, 7)
+        img = jnp.zeros((1, height, width, 3))
+        half = jnp.zeros((1, height // 2, width // 2, 3))
+        disp_half = jnp.zeros((1, height // 4, width // 4, 1))
+        sem = jnp.zeros((1, height // 32, width // 32, 512))
+        data68 = jnp.zeros((1, height // 4, width // 4, 68))
+        mask = jnp.zeros((1, height // 4, width // 4, 1))
+        disp_full = jnp.zeros((1, height, width, 1))
+
+        sem_def = Semantics(dtype=dtype)
+        disp_def = Disparity(dtype=dtype)
+        refine_def = (RefinePretrained if pretrained_refine else Refine)(
+            dtype=dtype)
+        ctx_def = ContextNet(dtype=dtype)
+        inp_def = (PartialInpaint if partial_inpainting else Inpaint)(
+            dtype=dtype)
+
+        params = PipelineParams(
+            semantics=sem_def.init(keys[0], half),
+            disparity=disp_def.init(keys[1], half, sem),
+            refine=refine_def.init(keys[2], img, disp_half),
+            context=ctx_def.init(keys[3], img, disp_full),
+            inpaint=inp_def.init(keys[4], data68, mask),
+            context_depth=(ctx_def.init(keys[5], img, disp_full)
+                           if inpaint_depth else None),
+            inpaint_depth=(inp_def.init(keys[6], data68, mask)
+                           if inpaint_depth else None),
+        )
+        return KenBurnsPipeline(camera=camera, effect=effect, params=params,
+                                pretrained_refine=pretrained_refine,
+                                partial_inpainting=partial_inpainting,
+                                dtype=dtype)
+
+    def effect_fn(self, height: int, width: int,
+                  zoom: ZoomSettings) -> Callable:
+        key = (height, width, zoom, self.effect, self.camera)
+        if key not in self._cache:
+            fn = build_effect_fn(
+                height, width, zoom, self.camera, self.effect,
+                self.pretrained_refine, self.partial_inpainting, self.dtype,
+                self.frame_chunk)
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key]
+
+    def __call__(self, image: np.ndarray,
+                 zoom: Optional[ZoomSettings] = None) -> np.ndarray:
+        """``image``: (H, W, 3) float [0, 1] -> (num_steps, H, W, 3) uint8."""
+        h, w = image.shape[0], image.shape[1]
+        if zoom is None:
+            zoom = (ZoomSettings.default_dolly(w, h) if self.effect.dolly
+                    else ZoomSettings.default_3d(w, h))
+        fn = self.effect_fn(h, w, zoom)
+        frames = fn(self.params, jnp.asarray(image, jnp.float32)[None])
+        return np.asarray(frames).astype(np.uint8)

@@ -1,0 +1,253 @@
+"""PyTorch checkpoint -> Flax parameter conversion.
+
+Converts the reference's released ``.tar`` checkpoints (both its
+{nb_iter, model_state_dict, ...} dict format and Niklaus's raw state-dicts,
+utils/utils.py:202-217) into this framework's parameter pytrees:
+
+  - conv weights (O, I, kh, kw) -> NHWC kernels (kh, kw, I, O)
+  - PReLU weights -> per-channel 'slope'
+  - frozen batch-norm (VGG19-bn Semantics, InceptionV3) folded into the
+    preceding conv: W' = W * g/sqrt(v+eps), b' = beta + (b - mean) *
+    g/sqrt(v+eps)
+
+Reference module naming (e.g. ``2x0 - 3x0`` lattice keys,
+models/disparity_estimation.py:129-148) maps onto our systematic
+blk/down/up naming (models/gridnet.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "model_state_dict" in blob:
+        blob = blob["model_state_dict"]
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in blob.items()}
+
+
+def _conv(sd, key):
+    w = sd[f"{key}.weight"]
+    out = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def _conv_bn_folded(sd, conv_key, bn_key, eps=1e-5):
+    w = sd[f"{conv_key}.weight"]
+    b = sd.get(f"{conv_key}.bias", np.zeros(w.shape[0], w.dtype))
+    g = sd[f"{bn_key}.weight"]
+    beta = sd[f"{bn_key}.bias"]
+    mean = sd[f"{bn_key}.running_mean"]
+    var = sd[f"{bn_key}.running_var"]
+    scale = g / np.sqrt(var + eps)
+    w = w * scale[:, None, None, None]
+    b = beta + (b - mean) * scale
+    return {"kernel": np.transpose(w, (2, 3, 1, 0)), "bias": b}
+
+
+def _prelu(sd, key):
+    return {"slope": sd[f"{key}.weight"].reshape(-1)}
+
+
+def _basic(sd, key, kind: str, has_shortcut: bool):
+    """Reference Basic -> our Basic params (models/layers.py naming)."""
+    out = {}
+    if kind == "relu-conv-relu-conv":
+        out["prelu1"] = _prelu(sd, f"{key}.moduleMain.0")
+        out["conv1"] = _conv(sd, f"{key}.moduleMain.1")
+        out["prelu2"] = _prelu(sd, f"{key}.moduleMain.2")
+        out["conv2"] = _conv(sd, f"{key}.moduleMain.3")
+    else:  # conv-relu-conv
+        out["conv1"] = _conv(sd, f"{key}.moduleMain.0")
+        out["prelu2"] = _prelu(sd, f"{key}.moduleMain.1")
+        out["conv2"] = _conv(sd, f"{key}.moduleMain.2")
+    if has_shortcut and f"{key}.moduleShortcut.weight" in sd:
+        out["shortcut"] = _conv(sd, f"{key}.moduleShortcut")
+    return out
+
+
+def _down(sd, key):
+    return {
+        "prelu1": _prelu(sd, f"{key}.moduleMain.0"),
+        "conv1": _conv(sd, f"{key}.moduleMain.1"),
+        "prelu2": _prelu(sd, f"{key}.moduleMain.2"),
+        "conv2": _conv(sd, f"{key}.moduleMain.3"),
+    }
+
+
+def _up(sd, key):
+    return {
+        "prelu1": _prelu(sd, f"{key}.moduleMain.1"),
+        "conv1": _conv(sd, f"{key}.moduleMain.2"),
+        "prelu2": _prelu(sd, f"{key}.moduleMain.3"),
+        "conv2": _conv(sd, f"{key}.moduleMain.4"),
+    }
+
+
+def _lattice(sd, rows: int):
+    """Columns 1..3 of a grid net (string-keyed reference modules)."""
+    out = {}
+    for c in (1, 2, 3):
+        for r in range(rows):
+            out[f"blk{r}x{c}"] = _basic(
+                sd, f"{r}x{c - 1} - {r}x{c}", "relu-conv-relu-conv", True)
+    for r in range(1, rows):
+        out[f"down{r}x1"] = _down(sd, f"{r - 1}x1 - {r}x1")
+    for c in (2, 3):
+        for r in range(rows - 1):
+            out[f"up{r}x{c}"] = _up(sd, f"{r + 1}x{c} - {r}x{c}")
+    return out
+
+
+def convert_disparity(path: str) -> Dict:
+    """Reference Disparity .tar -> our Disparity params
+    (models/disparity_estimation.py:119-151)."""
+    sd = _load_state_dict(path)
+    params = {
+        "stem_image": _conv(sd, "moduleImage"),
+        "stem_semantics": _conv(sd, "moduleSemantics"),
+        "head": _basic(sd, "moduleDisparity", "conv-relu-conv", True),
+        "lattice": _lattice(sd, rows=6),
+    }
+    for r in range(1, 6):
+        params[f"down{r}x0"] = _down(sd, f"{r - 1}x0 - {r}x0")
+    return {"params": params}
+
+
+def convert_refine(path: str) -> Dict:
+    """Reference Refine .tar -> our Refine/RefinePretrained params
+    (models/disparity_refinement*.py)."""
+    sd = _load_state_dict(path)
+    core = {
+        "image_one": _basic(sd, "moduleImageOne", "conv-relu-conv", True),
+        "image_two": _down(sd, "moduleImageTwo"),
+        "image_thr": _down(sd, "moduleImageThr"),
+        "disparity_one": _basic(sd, "moduleDisparityOne", "conv-relu-conv",
+                                True),
+        "disparity_two": _up(sd, "moduleDisparityTwo"),
+        "disparity_thr": _up(sd, "moduleDisparityThr"),
+        "disparity_fou": _basic(sd, "moduleDisparityFou", "conv-relu-conv",
+                                True),
+        "refine": _basic(sd, "moduleRefine", "conv-relu-conv", True),
+    }
+    return {"params": {"core": core}}
+
+
+def convert_inpaint(path: str):
+    """Reference Inpaint .tar -> (context_params, net_params)
+    (models/pointcloud_inpainting.py:83-120)."""
+    sd = _load_state_dict(path)
+    context = {
+        "conv1": _conv(sd, "moduleContext.0"),
+        "prelu1": _prelu(sd, "moduleContext.1"),
+        "conv2": _conv(sd, "moduleContext.2"),
+        "prelu2": _prelu(sd, "moduleContext.3"),
+    }
+    net = {
+        "stem": _basic(sd, "moduleInput", "conv-relu-conv", True),
+        "head_image": _basic(sd, "moduleImage", "conv-relu-conv", True),
+        "head_disparity": _basic(sd, "moduleDisparity", "conv-relu-conv",
+                                 True),
+        "lattice": _lattice(sd, rows=4),
+    }
+    for r in range(1, 4):
+        net[f"down{r}x0"] = _down(sd, f"{r - 1}x0 - {r}x0")
+    return {"params": context}, {"params": net}
+
+
+# VGG19-bn Semantics: conv indices inside the reference's nested
+# Sequential (models/disparity_estimation.py:88-105) -> our conv{b}_{i}.
+_VGG19_LAYOUT = (
+    (("0.0", "0.1"), ("1.0", "1.1")),
+    (("3.0", "3.1"), ("4.0", "4.1")),
+    (("6.0", "6.1"), ("7.0", "7.1"), ("8.0", "8.1"), ("9.0", "9.1")),
+    (("11.0", "11.1"), ("12.0", "12.1"), ("13.0", "13.1"), ("14.0", "14.1")),
+)
+
+# torchvision vgg19_bn features indices per conv block
+_VGG19_TV_LAYOUT = (
+    ((0, 1), (3, 4)),
+    ((7, 8), (10, 11)),
+    ((14, 15), (17, 18), (20, 21), (23, 24)),
+    ((27, 28), (30, 31), (33, 34), (36, 37)),
+)
+
+
+def convert_semantics(path_or_sd) -> Dict:
+    """VGG19-bn weights (either the reference Semantics state dict with
+    ``moduleVgg.*`` keys or a torchvision ``features.*`` state dict) ->
+    BN-folded Semantics params."""
+    sd = (path_or_sd if isinstance(path_or_sd, dict)
+          else _load_state_dict(path_or_sd))
+    params = {}
+    if any(k.startswith("moduleVgg") for k in sd):
+        for b, block in enumerate(_VGG19_LAYOUT):
+            for i, (conv_k, bn_k) in enumerate(block):
+                params[f"conv{b}_{i}"] = _conv_bn_folded(
+                    sd, f"moduleVgg.{conv_k}", f"moduleVgg.{bn_k}")
+    else:
+        prefix = "features." if any(k.startswith("features.")
+                                    for k in sd) else ""
+        for b, block in enumerate(_VGG19_TV_LAYOUT):
+            for i, (conv_i, bn_i) in enumerate(block):
+                params[f"conv{b}_{i}"] = _conv_bn_folded(
+                    sd, f"{prefix}{conv_i}", f"{prefix}{bn_i}")
+    return {"params": params}
+
+
+# VGG16 (perceptual-loss extractor): torchvision features indices
+_VGG16_TV_LAYOUT = ((0, 2), (5, 7), (10, 12, 14), (17, 19, 21))
+
+
+def convert_vgg16(path_or_sd, num_slices: int = 3) -> Dict:
+    """torchvision vgg16 features -> VGG16Features params (no BN)."""
+    sd = (path_or_sd if isinstance(path_or_sd, dict)
+          else _load_state_dict(path_or_sd))
+    prefix = "features." if any(k.startswith("features.") for k in sd) \
+        else ""
+    params = {}
+    for b in range(num_slices):
+        for i, conv_i in enumerate(_VGG16_TV_LAYOUT[b]):
+            params[f"conv{b}_{i}"] = _conv(sd, f"{prefix}{conv_i}")
+    return {"params": params}
+
+
+def load_torch_pipeline(params, estim: Optional[str] = None,
+                        refine: Optional[str] = None,
+                        inpaint: Optional[str] = None,
+                        inpaint_depth: Optional[str] = None,
+                        semantics: Optional[str] = None,
+                        pretrained_refine: bool = False):
+    """Merge converted torch checkpoints into PipelineParams (missing
+    entries keep their current values)."""
+    updates = {}
+    if estim:
+        updates["disparity"] = convert_disparity(estim)
+    if refine:
+        updates["refine"] = convert_refine(refine)
+    if inpaint:
+        ctx, net = convert_inpaint(inpaint)
+        updates["context"] = ctx
+        updates["inpaint"] = net
+    if inpaint_depth:
+        ctx, net = convert_inpaint(inpaint_depth)
+        updates["context_depth"] = ctx
+        updates["inpaint_depth"] = net
+    if semantics:
+        updates["semantics"] = convert_semantics(semantics)
+    import jax.numpy as jnp
+
+    def to_jnp(tree):
+        import jax
+
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+
+    return params._replace(**{k: to_jnp(v) for k, v in updates.items()})
