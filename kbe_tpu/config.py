@@ -107,3 +107,11 @@ class EffectConfig:
     validity_threshold: float = 0.03
     depth_range_margin: int = 128
     fill_march_steps: int = 128
+    # Frame-loop splat renderer: 'auto' picks the Pallas tiled kernel when
+    # the trajectory's displacement bound allows, else scatter;
+    # 'pallas' | 'scatter' | 'sorted' force an implementation.
+    splat_method: str = "auto"
+    # Upper bound on per-point screen displacement accepted by the Pallas
+    # renderer; 'auto' falls back to scatter when the computed trajectory
+    # bound exceeds this.
+    max_pallas_margin: int = 128

@@ -10,11 +10,13 @@ the hole.
 TPU-native reformulation: because the reference marches by unit steps of the
 normalized direction and rounds the accumulated float position
 (utils/common.py:876-894), the k-th visited pixel is p + round(k * d̂) — the
-same static offset for every pixel. We therefore precompute, per ray, the
-offset table for k = 1..K and find the first "event" (valid pixel or leaving
-the image) with a ``fori_loop`` of shifted-mask lookups. K bounds the march
-(the CUDA original is unbounded); rays that exhaust K are treated as
-unusable, which only differs for holes wider than K pixels.
+same static offset for every pixel. We therefore precompute the offset
+tables for all 32 rays (16 directions x both ways), and find each ray's
+first "event" (valid pixel or leaving the image) with a single ``fori_loop``
+over k-chunks whose body evaluates all rays at once on an int8 validity
+map. K bounds the march (the CUDA original is unbounded); rays that exhaust
+K are treated as unusable, which only differs for holes wider than K
+pixels — and hole width is bounded by the camera shift magnitude.
 """
 
 from __future__ import annotations
@@ -30,97 +32,118 @@ from jax import lax
 _DIR_X = (-1, 0, 1, 1, -1, 1, 2, 2, -2, -1, 1, 2, 3, 3, 3, 3)
 _DIR_Y = (1, 1, 1, 0, 2, 2, 1, -1, 3, 3, 3, 3, 2, 1, -1, -2)
 
+_KCHUNK = 8
+
 
 def _c_round(x: float) -> int:
     """C round(): half away from zero (the CUDA kernel's rounding)."""
     return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
 
 
-def _offset_table(dx: float, dy: float, steps: int):
-    """Visited integer offsets after k=1..steps unit steps along (dx, dy)."""
-    norm = math.sqrt(dx * dx + dy * dy)
-    ux, uy = dx / norm, dy / norm
-    offs = [(_c_round(k * ux), _c_round(k * uy)) for k in range(1, steps + 1)]
-    return offs
+def _offset_tables(steps: int):
+    """(32, steps) x/y offset tables: rays 0..15 march along +d̂ ('to'),
+    rays 16..31 along -d̂ ('from'; c_round is odd so -table is exact)."""
+    ox, oy = [], []
+    for dx, dy in zip(_DIR_X, _DIR_Y):
+        norm = math.sqrt(dx * dx + dy * dy)
+        ox.append([_c_round(k * dx / norm) for k in range(1, steps + 1)])
+        oy.append([_c_round(k * dy / norm) for k in range(1, steps + 1)])
+    ox = ox + [[-v for v in row] for row in ox]
+    oy = oy + [[-v for v in row] for row in oy]
+    import numpy as np
+
+    return np.asarray(ox, np.int32), np.asarray(oy, np.int32)
 
 
-def _first_event(valid_pad, ox, oy, steps: int, h: int, w: int, pad: int):
-    """First k whose offset lands on a valid pixel or exits the image.
+def _first_events(valid, steps: int):
+    """First k in 1..steps whose offset lands on a valid pixel or exits the
+    image, for all 32 rays at once.
 
-    ``valid_pad``: (H+2*pad, W+2*pad) f32 validity, zero border.
-    ``ox, oy``: (steps,) int32 offset tables.
-    Returns (end_y, end_x, usable) — endpoint coords (int32, (H, W)) and a
-    bool map of rays that found a valid pixel before going out of bounds.
+    ``valid``: (H, W) bool. Returns (end_y, end_x, usable): (32, H, W)
+    endpoint coords and whether a valid pixel was found before going out
+    of bounds (or running out of steps).
     """
-    # inb_pad marks in-image pixels inside the padded frame.
-    def body(i, carry):
+    h, w = valid.shape
+    pad = steps + 1
+    # int8 map: 1 = valid, 0 = hole, -1 = outside the image
+    vpad = jnp.pad(valid.astype(jnp.int8), ((pad, pad), (pad, pad)),
+                   constant_values=-1)
+    ox_np, oy_np = _offset_tables(steps)
+    ox = jnp.asarray(ox_np)
+    oy = jnp.asarray(oy_np)
+
+    n_chunks = -(-steps // _KCHUNK)
+
+    def body(ci, carry):
         found_k, found_valid = carry
-        k = steps - 1 - i  # iterate K..1 so the smallest event k wins
-        sy = pad + oy[k]
-        sx = pad + ox[k]
-        shifted = lax.dynamic_slice(valid_pad, (sy, sx), (h, w))
-        v = shifted > 0.5
-        oob = shifted < -0.5  # border sentinel
-        event = v | oob
-        found_k = jnp.where(event, k, found_k)
-        found_valid = jnp.where(event, v & ~oob, found_valid)
+        # chunks iterate from the far end; within a chunk, ks are folded
+        # high-to-low into one (event_k, event_valid) pair before the carry
+        # is touched, so carry traffic is paid once per chunk.
+        base = (n_chunks - 1 - ci) * _KCHUNK
+        ev_k = jnp.full((32, h, w), steps, jnp.int32)
+        ev_valid = jnp.zeros((32, h, w), bool)
+        for j in reversed(range(_KCHUNK)):
+            k = jnp.minimum(base + j, steps - 1)
+            shifted = jnp.stack([
+                lax.dynamic_slice(vpad, (pad + oy[r, k], pad + ox[r, k]),
+                                  (h, w)) for r in range(32)])
+            is_valid = shifted == 1
+            event = (is_valid | (shifted == -1)) & (base + j < steps)
+            ev_k = jnp.where(event, k, ev_k)
+            ev_valid = jnp.where(event, is_valid, ev_valid)
+        # the folded chunk is earlier in k than anything already carried
+        has = ev_k < steps
+        found_k = jnp.where(has, ev_k, found_k)
+        found_valid = jnp.where(has, ev_valid, found_valid)
         return found_k, found_valid
 
-    init = (jnp.full((h, w), steps, jnp.int32), jnp.zeros((h, w), bool))
-    found_k, found_valid = lax.fori_loop(0, steps, body, init)
+    init = (jnp.full((32, h, w), steps, jnp.int32),
+            jnp.zeros((32, h, w), bool))
+    found_k, found_valid = lax.fori_loop(0, n_chunks, body, init)
     usable = found_valid & (found_k < steps)
     kk = jnp.clip(found_k, 0, steps - 1)
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    end_y = yy + oy[kk]
-    end_x = xx + ox[kk]
+    yy = lax.broadcasted_iota(jnp.int32, (32, h, w), 1)
+    xx = lax.broadcasted_iota(jnp.int32, (32, h, w), 2)
+    end_y = yy + jnp.take_along_axis(oy, kk.reshape(32, -1),
+                                     axis=1).reshape(32, h, w)
+    end_x = xx + jnp.take_along_axis(ox, kk.reshape(32, -1),
+                                     axis=1).reshape(32, h, w)
     return end_y, end_x, usable
 
 
 def _fill_single(image: jax.Array, depth: jax.Array, steps: int) -> jax.Array:
     h, w, c = image.shape
-    valid = (depth[..., 0] > 0.0)
-    pad = steps + 1  # unit-direction components => |offset| <= k <= steps
-    # Padded validity with a -1 "out of image" sentinel border.
-    vpad = jnp.pad(valid.astype(jnp.float32), ((pad, pad), (pad, pad)),
-                   constant_values=-1.0)
+    valid = depth[..., 0] > 0.0
+    ey, ex, ok = _first_events(valid, steps)
+    # rays 0..15 are 'to' (+d̂), 16..31 are 'from' (-d̂)
+    ty, tx, t_ok = ey[:16], ex[:16], ok[:16]
+    fy, fx, f_ok = ey[16:], ex[16:], ok[16:]
+    both = t_ok & f_ok
 
-    best_dist = jnp.full((h, w), jnp.inf, jnp.float32)
-    fill_y = jnp.zeros((h, w), jnp.int32)
-    fill_x = jnp.zeros((h, w), jnp.int32)
-    any_usable = jnp.zeros((h, w), bool)
+    dist = jnp.sqrt((tx - fx).astype(jnp.float32) ** 2
+                    + (ty - fy).astype(jnp.float32) ** 2)
+    dist = jnp.where(both, dist, jnp.inf)
 
     dflat = depth[..., 0].reshape(-1)
+    d_from = dflat[jnp.clip(fy * w + fx, 0, h * w - 1)]
+    d_to = dflat[jnp.clip(ty * w + tx, 0, h * w - 1)]
+    # farther endpoint (background) wins (utils/common.py:900-907)
+    use_to = d_from < d_to
+    cand_y = jnp.where(use_to, ty, fy)
+    cand_x = jnp.where(use_to, tx, fx)
 
-    for dx, dy in zip(_DIR_X, _DIR_Y):
-        to_offs = _offset_table(dx, dy, steps)
-        to_ox = jnp.array([o[0] for o in to_offs], jnp.int32)
-        to_oy = jnp.array([o[1] for o in to_offs], jnp.int32)
-        fr_ox, fr_oy = -to_ox, -to_oy
-
-        fy, fx, f_ok = _first_event(vpad, fr_ox, fr_oy, steps, h, w, pad)
-        ty, tx, t_ok = _first_event(vpad, to_ox, to_oy, steps, h, w, pad)
-        ok = f_ok & t_ok
-        d2 = ((tx - fx).astype(jnp.float32) ** 2
-              + (ty - fy).astype(jnp.float32) ** 2)
-        dist = jnp.sqrt(d2)
-        # Farther endpoint (background) wins: if depth[from] < depth[to],
-        # fill from `to` (utils/common.py:900-907).
-        d_from = dflat[jnp.clip(fy * w + fx, 0, h * w - 1)]
-        d_to = dflat[jnp.clip(ty * w + tx, 0, h * w - 1)]
-        use_to = d_from < d_to
-        cand_y = jnp.where(use_to, ty, fy)
-        cand_x = jnp.where(use_to, tx, fx)
-
-        better = ok & (dist < best_dist)  # strict '<' keeps earlier dirs on ties
-        best_dist = jnp.where(better, dist, best_dist)
-        fill_y = jnp.where(better, cand_y, fill_y)
-        fill_x = jnp.where(better, cand_x, fill_x)
-        any_usable = any_usable | better
+    # first direction with the strictly smallest distance (argmin = first
+    # minimum, matching the reference's strict '>' update)
+    bestdir = jnp.argmin(dist, axis=0)  # (H, W)
+    take = lambda a: jnp.take_along_axis(
+        a, bestdir[None], axis=0)[0]
+    fill_y = take(cand_y)
+    fill_x = take(cand_x)
+    any_ok = jnp.any(both, axis=0)
 
     flat = jnp.clip(fill_y * w + fill_x, 0, h * w - 1)
     filled = image.reshape(-1, c)[flat]
-    do_fill = (~valid) & any_usable
+    do_fill = (~valid) & any_ok
     return jnp.where(do_fill[..., None], filled, image)
 
 

@@ -141,6 +141,13 @@ def _render_single(xyz, data, valid, height: int, width: int, focal,
     return jnp.transpose(rendered, (1, 2, 0)), existing[..., None]
 
 
+# Renderer implementation used when ``method`` is not given. Measured on a
+# v5e: the scatter formulation is ~2x faster than the sort-based one at all
+# tested sizes (both are bound by the chip's irregular-memory throughput);
+# the Pallas tiled kernel (ops/splat_pallas.py) is the real fast path.
+DEFAULT_SPLAT_METHOD = "scatter"
+
+
 def render_pointcloud(
     xyz: jax.Array,
     data: jax.Array,
@@ -149,6 +156,7 @@ def render_pointcloud(
     focal,
     baseline,
     valid: jax.Array | None = None,
+    method: str | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Render a point cloud into an image by z-buffered forward splatting.
 
@@ -166,6 +174,13 @@ def render_pointcloud(
       accumulated splat weight ("existing" mask before thresholding).
       Reference utils/common.py:428-686.
     """
+    if method is None:
+        method = DEFAULT_SPLAT_METHOD
+    if method == "sorted":
+        from kbe_tpu.ops.splat_sorted import render_pointcloud_sorted
+
+        return render_pointcloud_sorted(xyz, data, height, width, focal,
+                                        baseline, valid)
     if valid is None:
         valid = jnp.ones(xyz.shape[:2], dtype=xyz.dtype)
     fn = lambda p, d, m: _render_single(p, d, m, height, width, focal,

@@ -1,0 +1,373 @@
+"""Pallas TPU splat renderer — dense tiled one-hot/MXU formulation.
+
+The scatter (ops/splat.py) and sort (ops/splat_sorted.py) renderers are
+bound by the chip's irregular-memory throughput (~10M updates/s measured on
+v5e). This kernel turns the irregular scatter into dense on-chip work:
+
+  * the target raster is tiled; for each target tile, the contributing
+    points are guaranteed to come from the source window at the same
+    position grown by ``margin`` pixels (grid-structured clouds move at
+    most ``margin`` pixels per frame — the Ken Burns camera motion bound)
+  * per candidate row, a one-hot (tile-pixel x candidate) matrix is built
+    in VMEM on the VPU and consumed immediately by the MXU:
+      - z-buffer tile  = min-reduce of one-hot-masked z-keys
+      - zee gather     = one-hotᵀ @ shifted-zee columns (exact gather)
+      - accumulation   = one-hot @ (visibility-weighted payload), all four
+        bilinear corners of every point in a single matmul via an expanded
+        (Th+2, Tw+2) corner grid; the 2x2 shift-add epilogue runs in XLA
+  * candidate windows overlap, so inputs live in HBM and are DMA'd per
+    tile; per-tile results are written as flat (tile, corner-grid) blocks
+    and reassembled by XLA (Mosaic does not lower 1D->2D vector reshapes)
+
+Restrictions vs the general renderers (enforced): points must be
+grid-structured (G, H, W) with per-frame screen displacement <= margin —
+exactly the pipeline's frame-loop workload; payload channel count must be
+small (the 68-channel inpainting bootstrap uses the scatter path).
+
+Same semantics as the reference CUDA kernels (utils/common.py:434-686);
+golden-tested against ops/splat.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kbe_tpu.ops.geometry import project_points, splat_error
+from kbe_tpu.ops.splat import _degrid_pass
+
+_BIG = 1000000.0
+# Tile shape: Mosaic requires DMA slice starts/sizes aligned to the (8, 128)
+# tiling, so tile origins ty*TILE_H / tx*TILE_W must themselves be aligned.
+TILE_H = 16
+TILE_W = 128
+
+
+def _prepare_planes(xyz, valid, height, width, focal, baseline):
+    """Dense per-point target coords + z-key (XLA pre-pass).
+
+    xyz: (G, H, W, 3); valid: (G, H, W). Invalid points get coordinates far
+    outside any window. Returns (u, v, key) each (G, H, W) f32.
+    """
+    u, v, ok = project_points(xyz, height, width, focal)
+    ok = ok & (valid > 0.0)
+    key = splat_error(xyz[..., 2], focal, baseline)
+    u = jnp.where(ok, u, -1e9)
+    v = jnp.where(ok, v, -1e9)
+    key = jnp.where(ok, key, _BIG)
+    return u.astype(jnp.float32), v.astype(jnp.float32), \
+        key.astype(jnp.float32)
+
+
+def _build_zee(g, th, tw, wh, ww, height, width):
+    pp = (th + 2) * (tw + 2)
+    ppad = -(-pp // 128) * 128  # DMA last dims must be 128-aligned
+
+    def kernel(u_hbm, v_hbm, k_hbm, zee_out, uvk_vmem, zee_scr, sem, osem):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        copies = []
+        for idx, ref in enumerate((u_hbm, v_hbm, k_hbm)):
+            cp = pltpu.make_async_copy(
+                ref.at[:, pl.ds(ty * th, wh), pl.ds(tx * tw, ww)],
+                uvk_vmem.at[idx], sem.at[idx])
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+        iota = lax.broadcasted_iota(jnp.int32, (1, ppad), 1)
+        toy = ty * th
+        tox = tx * tw
+
+        def row_body(i, acc):
+            gi = i // wh
+            r = i % wh
+            uu = uvk_vmem[0, gi, r, :]
+            vv = uvk_vmem[1, gi, r, :]
+            # Windows are sized for the worst frame of the whole trajectory;
+            # a single frame's displacement is much smaller, so most rows
+            # cannot hit this tile — skip them with a cheap row test.
+            may_hit = jnp.any((vv >= toy - 1.0) & (vv <= toy + th)
+                              & (uu >= tox - 1.0) & (uu <= tox + tw))
+
+            def hit(acc):
+                kk = uvk_vmem[2, gi, r, :]
+                # chosen (max-weight) corner: floor + (frac > 0.5), NW ties
+                fu = jnp.floor(uu)
+                fv = jnp.floor(vv)
+                cx = (fu + (uu - fu > 0.5)).astype(jnp.int32)
+                cy = (fv + (vv - fv > 0.5)).astype(jnp.int32)
+                lx = cx - tox
+                ly = cy - toy
+                inb = (lx >= 0) & (lx < tw) & (ly >= 0) & (ly < th) \
+                    & (cx >= 0) & (cx < width) & (cy >= 0) & (cy < height)
+                q = jnp.where(inb, (ly + 1) * (tw + 2) + (lx + 1), -1)
+                eq = q[:, None] == iota  # (ww, PP)
+                vals = jnp.where(eq, kk[:, None], _BIG)
+                return jnp.minimum(acc, jnp.min(vals, axis=0, keepdims=True))
+
+            return lax.cond(may_hit, hit, lambda a: a, acc)
+
+        acc = lax.fori_loop(0, g * wh, row_body,
+                            jnp.full((1, ppad), _BIG, jnp.float32))
+        zee_scr[:, :] = jnp.broadcast_to(acc, (8, ppad))
+        out_cp = pltpu.make_async_copy(
+            zee_scr, zee_out.at[ty, tx], osem)
+        out_cp.start()
+        out_cp.wait()
+
+    return kernel
+
+
+def _build_acc(g, th, tw, wh, ww, c, height, width):
+    pp = (th + 2) * (tw + 2)
+    ppad = -(-pp // 128) * 128
+    cc = c + 1
+    rows = -(-(4 * cc) // 8) * 8  # accumulator rows, 8-aligned for DMA
+
+    def kernel(u_hbm, v_hbm, k_hbm, p_hbm, z4_hbm, out_ref, win_vmem,
+               pay_vmem, z4_vmem, out_scr, sem, psem, zsem, osem):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        copies = []
+        for idx, ref in enumerate((u_hbm, v_hbm, k_hbm)):
+            cp = pltpu.make_async_copy(
+                ref.at[:, pl.ds(ty * th, wh), pl.ds(tx * tw, ww)],
+                win_vmem.at[idx], sem.at[idx])
+            cp.start()
+            copies.append(cp)
+        cp = pltpu.make_async_copy(
+            p_hbm.at[:, :, pl.ds(ty * th, wh), pl.ds(tx * tw, ww)],
+            pay_vmem, psem)
+        cp.start()
+        copies.append(cp)
+        cp = pltpu.make_async_copy(z4_hbm.at[ty, tx], z4_vmem, zsem)
+        cp.start()
+        copies.append(cp)
+        for x in copies:
+            x.wait()
+
+        iota = lax.broadcasted_iota(jnp.int32, (1, ppad), 1)
+        toy = ty * th
+        tox = tx * tw
+        z4t = z4_vmem[:, :]  # (8, PPAD): rows 0..3 = shifted zee per corner
+
+        def row_body(i, acc):
+            gi = i // wh
+            r = i % wh
+            uu = win_vmem[0, gi, r, :]
+            vv = win_vmem[1, gi, r, :]
+            # skip rows whose floor corner cannot reach the expanded grid
+            may_hit = jnp.any((vv >= toy - 1.0) & (vv <= toy + th + 2.0)
+                              & (uu >= tox - 1.0) & (uu <= tox + tw + 2.0))
+
+            def hit(acc):
+                kk = win_vmem[2, gi, r, :]
+                fu = jnp.floor(uu)
+                fv = jnp.floor(vv)
+                fx = uu - fu
+                fy = vv - fv
+                ix = fu.astype(jnp.int32)
+                iy = fv.astype(jnp.int32)
+                lx = ix - tox
+                ly = iy - toy
+                # floor corner within the expanded grid [-1, th] x [-1, tw]
+                inb = (lx >= -1) & (lx <= tw) & (ly >= -1) & (ly <= th)
+                q = jnp.where(inb, (ly + 1) * (tw + 2) + (lx + 1), -1)
+                onehot = (q[:, None] == iota).astype(jnp.float32)
+
+                z_at = jax.lax.dot_general(
+                    onehot, z4t, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)[:, :4]  # (ww, 4)
+                # corner weights in reference order NW, NE, SW, SE
+                w4 = jnp.concatenate(
+                    [((1 - fy) * (1 - fx))[:, None],
+                     ((1 - fy) * fx)[:, None],
+                     (fy * (1 - fx))[:, None], (fy * fx)[:, None]], axis=1)
+                # global in-bounds per corner + z-test
+                # (utils/common.py:638-668)
+                corner = lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+                gx = ix[:, None] + corner % 2
+                gy = iy[:, None] + corner // 2
+                ginb = (gx >= 0) & (gx < width) & (gy >= 0) & (gy < height)
+                vis = ginb & (kk[:, None] <= z_at + 1.0)
+                weff = jnp.where(vis, w4, 0.0)  # (ww, 4)
+
+                pay = [pay_vmem[ci, gi, r, :][:, None] for ci in range(c)]
+                pay.append(jnp.ones_like(uu)[:, None])
+                pmat = jnp.concatenate(pay, axis=1)  # (ww, C+1)
+                # corner-major (ww, 4*cc) blocks without vector reshapes
+                rhs = jnp.concatenate(
+                    [weff[:, k:k + 1] * pmat for k in range(4)], axis=1)
+                rhs = jnp.pad(rhs, ((0, 0), (0, rows - 4 * cc)))
+                # accumulate transposed so the out DMA is aligned
+                return acc + jax.lax.dot_general(
+                    rhs, onehot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (rows, PPAD)
+
+            return lax.cond(may_hit, hit, lambda a: a, acc)
+
+        acc = lax.fori_loop(
+            0, g * wh, row_body, jnp.zeros((rows, ppad), jnp.float32))
+        out_scr[:, :] = acc
+        out_cp = pltpu.make_async_copy(out_scr, out_ref.at[ty, tx], osem)
+        out_cp.start()
+        out_cp.wait()
+
+    return kernel
+
+
+def render_grids_pallas(
+    xyz: jax.Array,
+    data: jax.Array,
+    height: int,
+    width: int,
+    focal,
+    baseline,
+    valid: jax.Array | None = None,
+    margin: int = 72,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Render grid-structured clouds by tiled dense splatting.
+
+    Args:
+      xyz: (G, H, W, 3) — G stacked pixel-grid clouds (raw + inpaint grids).
+      data: (G, H, W, C) payload, C small (<= 8).
+      valid: (G, H, W) or None.
+      margin: static bound on per-point screen displacement in pixels;
+        points that move farther are dropped (callers compute it from the
+        zoom trajectory).
+
+    Returns (rendered (1, H, W, C), existing (1, H, W, 1)) like
+    render_pointcloud with batch 1.
+    """
+    if interpret is None:
+        # Mosaic only targets TPU; interpret elsewhere (tests on CPU).
+        interpret = jax.default_backend() != "tpu"
+    g, h, w = xyz.shape[0], xyz.shape[1], xyz.shape[2]
+    c = data.shape[-1]
+    if c > 8:
+        raise ValueError("pallas renderer supports small payloads; use the"
+                         " scatter path for wide payloads")
+    if valid is None:
+        valid = jnp.ones((g, h, w), xyz.dtype)
+
+    th, tw = TILE_H, TILE_W
+    n_ty = -(-height // th)
+    n_tx = -(-width // tw)
+    # window sizes must satisfy Mosaic DMA tiling: rows % 8, cols % 128
+    pad_y = margin + 2
+    while (th + 2 * pad_y) % 8:
+        pad_y += 1
+    pad_x = margin + 2
+    while (tw + 2 * pad_x) % 128:
+        pad_x += 1
+    wh = th + 2 * pad_y
+    ww = tw + 2 * pad_x
+    pp = (th + 2) * (tw + 2)
+    ppad = -(-pp // 128) * 128
+    cc = c + 1
+    rows = -(-(4 * cc) // 8) * 8
+
+    u, v, key = _prepare_planes(xyz, valid, height, width, focal, baseline)
+
+    # pad planes so every window read is in range
+    back_h = n_ty * th + pad_y - height
+    back_w = n_tx * tw + pad_x - width
+    padding = ((0, 0), (pad_y, back_h), (pad_x, back_w))
+    u = jnp.pad(u, padding, constant_values=-1e9)
+    v = jnp.pad(v, padding, constant_values=-1e9)
+    key = jnp.pad(key, padding, constant_values=_BIG)
+    pdat = jnp.pad(jnp.transpose(data, (3, 0, 1, 2)).astype(jnp.float32),
+                   ((0, 0),) + padding)
+
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    zee_flat = pl.pallas_call(
+        _build_zee(g, th, tw, wh, ww, height, width),
+        grid=(n_ty, n_tx),
+        in_specs=[hbm, hbm, hbm],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((n_ty, n_tx, 8, ppad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, g, wh, ww), jnp.float32),
+            pltpu.VMEM((8, ppad), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(u, v, key)
+
+    # reassemble: (n_ty, n_tx, th+2, tw+2) -> crop corner grid -> image
+    zt = zee_flat[:, :, 0, :pp].reshape(n_ty, n_tx, th + 2,
+                                        tw + 2)[:, :, 1:1 + th, 1:1 + tw]
+    zee = jnp.transpose(zt, (0, 2, 1, 3)).reshape(n_ty * th, n_tx * tw)
+    zee = zee[:height, :width]
+    zee = _degrid_pass(zee)
+
+    # shifted-zee planes per corner, gathered per tile in XLA (the kernel
+    # would need vector reshapes Mosaic cannot lower)
+    # +2 back padding: the (dy, dx) = 1 shifted planes below must slice at
+    # offset 1 without dynamic_slice clamping the start.
+    zee_pad = jnp.pad(zee, ((1, 2 + n_ty * th - height),
+                            (1, 2 + n_tx * tw - width)),
+                      constant_values=_BIG)
+    # corner (dy, dx): value at expanded-grid cell (ey, ex) of tile (ty,tx)
+    # = zee[ty*th + ey - 1 + dy, tx*tw + ex - 1 + dx]
+    iy = (jnp.arange(n_ty)[:, None] * th
+          + jnp.arange(th + 2)[None, :])  # (n_ty, th+2)
+    ix = (jnp.arange(n_tx)[:, None] * tw + jnp.arange(tw + 2)[None, :])
+    cols = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            plane = lax.dynamic_slice(
+                zee_pad, (dy, dx), (n_ty * th + 2, n_tx * tw + 2))
+            # one gather: per-tile overlapping (th+2, tw+2) windows
+            win = plane[iy[:, None, :, None], ix[None, :, None, :]]
+            cols.append(win.reshape(n_ty, n_tx, 1, pp))
+    z4 = jnp.concatenate(
+        cols + [jnp.zeros((n_ty, n_tx, 4, pp), jnp.float32)], axis=2)
+    z4 = jnp.pad(z4, ((0, 0), (0, 0), (0, 0), (0, ppad - pp)),
+                 constant_values=_BIG)  # (n_ty, n_tx, 8, PPAD)
+
+    acc_flat = pl.pallas_call(
+        _build_acc(g, th, tw, wh, ww, c, height, width),
+        grid=(n_ty, n_tx),
+        in_specs=[hbm, hbm, hbm, hbm, hbm],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((n_ty, n_tx, rows, ppad),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, g, wh, ww), jnp.float32),
+            pltpu.VMEM((c, g, wh, ww), jnp.float32),
+            pltpu.VMEM((8, ppad), jnp.float32),
+            pltpu.VMEM((rows, ppad), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(u, v, key, pdat, z4)
+
+    # XLA epilogue: 2x2 shift-add of the corner partials
+    # acc_flat: (n_ty, n_tx, rows, PPAD) with rows = 4*cc padded
+    t = jnp.transpose(acc_flat[:, :, :4 * cc, :pp], (0, 1, 3, 2))
+    t = t.reshape(n_ty, n_tx, th + 2, tw + 2, 4, cc)
+    out = (t[:, :, 1:1 + th, 1:1 + tw, 0]
+           + t[:, :, 1:1 + th, 0:tw, 1]
+           + t[:, :, 0:th, 1:1 + tw, 2]
+           + t[:, :, 0:th, 0:tw, 3])  # (n_ty, n_tx, th, tw, cc)
+    img = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(
+        n_ty * th, n_tx * tw, cc)[:height, :width]
+
+    rendered = img[..., :c] / (img[..., c:] + 1e-7)
+    existing = img[..., c]
+    return rendered[None], existing[None, ..., None]

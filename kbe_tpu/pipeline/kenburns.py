@@ -44,11 +44,39 @@ from kbe_tpu.ops.geometry import (
 )
 from kbe_tpu.ops.resize import crop_rect_subpix, resize_bilinear, resize_to_max
 from kbe_tpu.ops.splat import render_pointcloud
-from kbe_tpu.pipeline.inpaint_flow import (
-    InpaintModels,
-    extend_cloud,
-    pointcloud_inpainting,
-)
+from kbe_tpu.pipeline.inpaint_flow import InpaintModels, \
+    pointcloud_inpainting
+
+
+def displacement_margin(zoom: ZoomSettings, camera: CameraConfig,
+                        effect: EffectConfig, width: int,
+                        height: int) -> int:
+    """Static bound on any point's per-frame screen displacement (pixels).
+
+    Derivation: the solved metric shift sx ~= shiftU * closest / focal and
+    the projected displacement f*sx/z <= shiftU (z >= closest); the z-shift
+    contributes |u| * sz/z <= (W/2) * (1 - min crop ratio); inpaint-grid
+    points carry an extra -overshoot * endpoint-shift; dolly focal
+    interpolation rescales u by up to the crop scaling. Used to size the
+    Pallas renderer's candidate windows.
+    """
+    import math
+
+    su = [zoom.src.center_u - width / 2.0, zoom.dst.center_u - width / 2.0]
+    sv = [zoom.src.center_v - height / 2.0,
+          zoom.dst.center_v - height / 2.0]
+    max_cw = max(zoom.src.crop_width, zoom.dst.crop_width)
+    dr = 1.0 - min(zoom.src.crop_width, zoom.dst.crop_width) / max_cw
+    over = (effect.inpaint_overshoot
+            if effect.inpaint and not effect.dolly else 0.0)
+    mx = max(abs(a - over * b) for a in su + [0.0] for b in su + [0.0])
+    my = max(abs(a - over * b) for a in sv + [0.0] for b in sv + [0.0])
+    scale_term = (max(width, height) / 2.0) * dr * (1.0 + over)
+    if effect.dolly:
+        # focal interpolation rescales all screen coords
+        scaling = zoom.dst.crop_width / zoom.src.crop_width
+        scale_term += (max(width, height) / 2.0) * abs(scaling - 1.0)
+    return int(math.ceil(max(mx, my) + scale_term)) + 6
 
 
 def _step_focal(step: float, zoom: ZoomSettings, camera: CameraConfig,
@@ -131,6 +159,18 @@ def build_effect_fn(
     max_cw = max(zoom.src.crop_width, zoom.dst.crop_width)
     max_ch = max(zoom.src.crop_height, zoom.dst.crop_height)
 
+    # frame-loop renderer selection (static)
+    margin = displacement_margin(zoom, camera, effect, width, height)
+    splat = effect.splat_method
+    if splat == "auto":
+        splat = ("pallas" if margin <= effect.max_pallas_margin
+                 else "scatter")
+    if splat == "pallas" and margin > effect.max_pallas_margin:
+        raise ValueError(
+            f"trajectory displacement bound {margin}px exceeds "
+            f"max_pallas_margin={effect.max_pallas_margin}; use "
+            "splat_method='scatter'")
+
     def _net_apply(params, data, masks):
         if partial_inpainting:
             img, dsp, existing = inpaint_def.apply(params, data, masks)
@@ -159,12 +199,12 @@ def build_effect_fn(
         # --- depth-range anchor, in-graph (replaces cv2.minMaxLoc, :96)
         anchor = depth_range(depth[0, ..., 0], effect.depth_range_margin)
 
-        # --- cloud: rgb + disparity + depth payload
-        cloud_xyz = points
-        cloud_data = jnp.concatenate(
-            [image.reshape(1, -1, 3), disparity.reshape(1, -1, 1),
-             depth.reshape(1, -1, 1)], axis=-1)
-        cloud_valid = jnp.ones((1, height * width), jnp.float32)
+        # --- cloud: stacked pixel grids of rgb + disparity + depth payload
+        #     (grid structure preserved for the Pallas tiled renderer)
+        grids_xyz = [points.reshape(height, width, 3)]
+        grids_data = [jnp.concatenate([image[0], disparity[0], depth[0]],
+                                      axis=-1)]
+        grids_valid = [jnp.ones((height, width), jnp.float32)]
 
         # --- inpainting extension at the two effect endpoints
         #     (utils/common.py:181-219; skipped for dolly/2-frame modes)
@@ -180,12 +220,21 @@ def build_effect_fn(
             for s in (0.0, 1.0):
                 shift = compute_pose_shift(s, camera.focal, anchor, zoom,
                                            camera, width, height)
-                inpainted = pointcloud_inpainting(
+                inp = pointcloud_inpainting(
                     models, image, disparity, effect.inpaint_overshoot
                     * shift, camera, camera.focal,
                     effect.validity_threshold)
-                cloud_xyz, cloud_data, cloud_valid = extend_cloud(
-                    cloud_xyz, cloud_data, cloud_valid, inpainted)
+                grids_xyz.append(inp["points"].reshape(height, width, 3))
+                grids_data.append(jnp.concatenate(
+                    [inp["image"][0], inp["disparity"][0], inp["depth"][0]],
+                    axis=-1))
+                grids_valid.append(
+                    (inp["existing"][0, ..., 0] == 0.0).astype(jnp.float32))
+
+        cloud_xyz = jnp.stack(grids_xyz)      # (G, H, W, 3)
+        cloud_data = jnp.stack(grids_data)    # (G, H, W, 5)
+        cloud_valid = jnp.stack(grids_valid)  # (G, H, W)
+        n_grids = cloud_xyz.shape[0]
 
         # --- pose loop: render -> fill -> quantize -> crop -> resize
         def render_frame(args):
@@ -195,9 +244,17 @@ def build_effect_fn(
             xyz = apply_shift(cloud_xyz, shift)
             data = jnp.concatenate(
                 [cloud_data[..., 0:3], cloud_data[..., 4:5]], axis=-1)
-            render, weight = render_pointcloud(
-                xyz, data, height, width, focal, camera.baseline,
-                valid=cloud_valid)
+            if splat == "pallas":
+                from kbe_tpu.ops.splat_pallas import render_grids_pallas
+
+                render, weight = render_grids_pallas(
+                    xyz, data, height, width, focal, camera.baseline,
+                    valid=cloud_valid, margin=margin)
+            else:
+                render, weight = render_pointcloud(
+                    xyz.reshape(1, -1, 3), data.reshape(1, -1, 4), height,
+                    width, focal, camera.baseline,
+                    valid=cloud_valid.reshape(1, -1), method=splat)
             render_depth = render[..., 3:4] * (weight > 0.0)
             filled = fill_disocclusion(render, render_depth,
                                        effect.fill_march_steps)
@@ -210,7 +267,10 @@ def build_effect_fn(
             return out
 
         xs = (jnp.asarray(steps, jnp.float32), jnp.asarray(focals))
-        frames = jax.lax.map(render_frame, xs, batch_size=frame_chunk)
+        # The Pallas renderer cannot run under vmap (ANY-space refs), so
+        # frames go sequentially there; the scatter path batches chunks.
+        chunk = None if splat == "pallas" else frame_chunk
+        frames = jax.lax.map(render_frame, xs, batch_size=chunk)
         return frames
 
     return effect_fn
