@@ -75,13 +75,17 @@ def _first_events(valid, steps: int):
     n_chunks = -(-steps // _KCHUNK)
 
     def body(ci, carry):
-        found_k, found_valid = carry
+        found_oy, found_ox, found_valid, found_any = carry
         # chunks iterate from the far end; within a chunk, ks are folded
-        # high-to-low into one (event_k, event_valid) pair before the carry
-        # is touched, so carry traffic is paid once per chunk.
+        # high-to-low into one event record before the carry is touched, so
+        # carry traffic is paid once per chunk. Endpoint OFFSETS are carried
+        # directly (a post-hoc (32, K)-table gather over H*W pixels is far
+        # more expensive than two extra carries on this chip).
         base = (n_chunks - 1 - ci) * _KCHUNK
-        ev_k = jnp.full((32, h, w), steps, jnp.int32)
+        ev_oy = jnp.zeros((32, h, w), jnp.int32)
+        ev_ox = jnp.zeros((32, h, w), jnp.int32)
         ev_valid = jnp.zeros((32, h, w), bool)
+        ev_any = jnp.zeros((32, h, w), bool)
         for j in reversed(range(_KCHUNK)):
             k = jnp.minimum(base + j, steps - 1)
             shifted = jnp.stack([
@@ -89,26 +93,27 @@ def _first_events(valid, steps: int):
                                   (h, w)) for r in range(32)])
             is_valid = shifted == 1
             event = (is_valid | (shifted == -1)) & (base + j < steps)
-            ev_k = jnp.where(event, k, ev_k)
+            koy = lax.dynamic_slice(oy, (0, k), (32, 1))[:, :, None]
+            kox = lax.dynamic_slice(ox, (0, k), (32, 1))[:, :, None]
+            ev_oy = jnp.where(event, koy, ev_oy)
+            ev_ox = jnp.where(event, kox, ev_ox)
             ev_valid = jnp.where(event, is_valid, ev_valid)
-        # the folded chunk is earlier in k than anything already carried
-        has = ev_k < steps
-        found_k = jnp.where(has, ev_k, found_k)
-        found_valid = jnp.where(has, ev_valid, found_valid)
-        return found_k, found_valid
+            ev_any = ev_any | event
+        found_oy = jnp.where(ev_any, ev_oy, found_oy)
+        found_ox = jnp.where(ev_any, ev_ox, found_ox)
+        found_valid = jnp.where(ev_any, ev_valid, found_valid)
+        found_any = found_any | ev_any
+        return found_oy, found_ox, found_valid, found_any
 
-    init = (jnp.full((32, h, w), steps, jnp.int32),
-            jnp.zeros((32, h, w), bool))
-    found_k, found_valid = lax.fori_loop(0, n_chunks, body, init)
-    usable = found_valid & (found_k < steps)
-    kk = jnp.clip(found_k, 0, steps - 1)
+    init = (jnp.zeros((32, h, w), jnp.int32),
+            jnp.zeros((32, h, w), jnp.int32),
+            jnp.zeros((32, h, w), bool), jnp.zeros((32, h, w), bool))
+    found_oy, found_ox, found_valid, found_any = lax.fori_loop(
+        0, n_chunks, body, init)
+    usable = found_valid & found_any
     yy = lax.broadcasted_iota(jnp.int32, (32, h, w), 1)
     xx = lax.broadcasted_iota(jnp.int32, (32, h, w), 2)
-    end_y = yy + jnp.take_along_axis(oy, kk.reshape(32, -1),
-                                     axis=1).reshape(32, h, w)
-    end_x = xx + jnp.take_along_axis(ox, kk.reshape(32, -1),
-                                     axis=1).reshape(32, h, w)
-    return end_y, end_x, usable
+    return yy + found_oy, xx + found_ox, usable
 
 
 def _fill_single(image: jax.Array, depth: jax.Array, steps: int) -> jax.Array:
@@ -124,21 +129,20 @@ def _fill_single(image: jax.Array, depth: jax.Array, steps: int) -> jax.Array:
                     + (ty - fy).astype(jnp.float32) ** 2)
     dist = jnp.where(both, dist, jnp.inf)
 
+    # first direction with the strictly smallest distance (argmin = first
+    # minimum, matching the reference's strict '>' update); depth gathers
+    # happen only for the winning direction — equivalent and far cheaper.
+    bestdir = jnp.argmin(dist, axis=0)  # (H, W)
+    take = lambda a: jnp.take_along_axis(a, bestdir[None], axis=0)[0]
+    bfy, bfx, bty, btx = take(fy), take(fx), take(ty), take(tx)
+
     dflat = depth[..., 0].reshape(-1)
-    d_from = dflat[jnp.clip(fy * w + fx, 0, h * w - 1)]
-    d_to = dflat[jnp.clip(ty * w + tx, 0, h * w - 1)]
+    d_from = dflat[jnp.clip(bfy * w + bfx, 0, h * w - 1)]
+    d_to = dflat[jnp.clip(bty * w + btx, 0, h * w - 1)]
     # farther endpoint (background) wins (utils/common.py:900-907)
     use_to = d_from < d_to
-    cand_y = jnp.where(use_to, ty, fy)
-    cand_x = jnp.where(use_to, tx, fx)
-
-    # first direction with the strictly smallest distance (argmin = first
-    # minimum, matching the reference's strict '>' update)
-    bestdir = jnp.argmin(dist, axis=0)  # (H, W)
-    take = lambda a: jnp.take_along_axis(
-        a, bestdir[None], axis=0)[0]
-    fill_y = take(cand_y)
-    fill_x = take(cand_x)
+    fill_y = jnp.where(use_to, bty, bfy)
+    fill_x = jnp.where(use_to, btx, bfx)
     any_ok = jnp.any(both, axis=0)
 
     flat = jnp.clip(fill_y * w + fill_x, 0, h * w - 1)

@@ -78,3 +78,39 @@ def test_rejects_non_multiple_of_4():
         jax.random.PRNGKey(0), 64, 64, effect=EffectConfig(num_steps=2))
     with pytest.raises(ValueError):
         pipe(_image(66, 64))
+
+
+def test_autozoom_returns_valid_window():
+    from kbe_tpu.config import CameraConfig, ZoomWindow
+    from kbe_tpu.ops.geometry import depth_range, depth_to_points
+    from kbe_tpu.pipeline.autozoom import autozoom
+
+    h = w = 32
+    cam = CameraConfig(focal=32.0, baseline=10.0)
+    depth = np.full((h, w), 20.0, np.float32)
+    depth[8:20, 8:20] = 10.0
+    pts = np.asarray(depth_to_points(jnp.asarray(depth)[None],
+                                     cam.focal)).reshape(1, -1, 3)
+    img = np.random.default_rng(0).uniform(0, 1, (1, h, w, 3)).astype(
+        np.float32)
+    anchor = depth_range(jnp.asarray(depth), margin=4)
+    win = ZoomWindow(16.0, 16.0, 28, 28)
+    out = autozoom(jnp.asarray(pts), jnp.asarray(img), win, 1.25, 3.0,
+                   anchor, cam, grid=4, batch=4)
+    assert out.crop_width == round(28 / 1.25)
+    assert 0 <= out.center_u <= w and 0 <= out.center_v <= h
+
+
+def test_receptive_field_summary():
+    from kbe_tpu.utils.receptive_field import (LayerSpec, disparity_layers,
+                                               net_summary)
+
+    infos = net_summary(disparity_layers(), 512, verbose=False)
+    # stem + 5 downsamples halve six times: 512 -> 8
+    assert infos[-1].n_features == 8
+    # receptive field grows monotonically
+    rs = [i.receptive for i in infos]
+    assert all(b >= a for a, b in zip(rs, rs[1:]))
+    # single conv sanity: k3 s1 p1 keeps size, receptive 3
+    one = net_summary([LayerSpec("c", 3, 1, 1)], 64, verbose=False)
+    assert one[0].n_features == 64 and one[0].receptive == 3
