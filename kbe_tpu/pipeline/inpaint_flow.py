@@ -44,6 +44,7 @@ class InpaintModels(NamedTuple):
     context: Callable
     net: Callable
     depth_net: Optional[Callable] = None
+    context_depth: Optional[Callable] = None
 
 
 def pointcloud_inpainting(
@@ -75,25 +76,33 @@ def pointcloud_inpainting(
 
     image_n, img_stats = normalize_sample(image)
     disp_n, disp_stats = normalize_sample(disparity)
-    context = models.context(image_n, disp_n)
-    payload = jnp.concatenate([image_n, disp_n, context], axis=-1)
 
-    render, weight = render_pointcloud(
-        points + shift, payload.reshape(1, h * w, -1), h, w, focal,
-        camera.baseline)
-    existing = (weight > 0.0).astype(jnp.float32)
-    existing = existing * median_filter(existing, 5)
-    render = render * jax.lax.stop_gradient(existing)
+    def render_with(context_fn):
+        context = context_fn(image_n, disp_n)
+        payload = jnp.concatenate([image_n, disp_n, context], axis=-1)
+        render, weight = render_pointcloud(
+            points + shift, payload.reshape(1, h * w, -1), h, w, focal,
+            camera.baseline)
+        existing = (weight > 0.0).astype(jnp.float32)
+        existing = existing * median_filter(existing, 5)
+        return render * jax.lax.stop_gradient(existing), existing
 
-    def run(net):
+    def run(net, render, existing):
         img_n, dsp_n, existing_out = net(render, existing)
         img = jnp.clip(denormalize_sample(img_n, img_stats), 0.0, 1.0)
         dsp = jnp.maximum(denormalize_sample(dsp_n, disp_stats), 0.0)
         return img, dsp, existing_out
 
-    out_image, out_disparity, out_existing = run(models.net)
+    render, existing = render_with(models.context)
+    out_image, out_disparity, out_existing = run(models.net, render,
+                                                 existing)
     if models.depth_net is not None:
-        _, out_disparity, _ = run(models.depth_net)
+        # the dual-net mode renders a second payload with the depth net's
+        # own context extractor (each reference net calls its own
+        # pointcloud_inpainting, utils/common.py:50-58)
+        ctx_d = models.context_depth or models.context
+        render_d, existing_d = render_with(ctx_d)
+        _, out_disparity, _ = run(models.depth_net, render_d, existing_d)
 
     out_depth = disparity_to_depth(out_disparity, focal, camera.baseline)
     out_valid = validity_mask(out_disparity, validity_threshold)

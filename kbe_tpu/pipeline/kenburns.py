@@ -214,6 +214,9 @@ def build_effect_fn(
                 net=partial(_net_apply, params.inpaint),
                 depth_net=(partial(_net_apply, params.inpaint_depth)
                            if params.inpaint_depth is not None else None),
+                context_depth=(partial(ctx_def.apply, params.context_depth)
+                               if params.context_depth is not None
+                               else None),
             )
             if models.depth_net is not None and params.context_depth is None:
                 raise ValueError("inpaint_depth requires context_depth")

@@ -114,3 +114,12 @@ def test_receptive_field_summary():
     # single conv sanity: k3 s1 p1 keeps size, receptive 3
     one = net_summary([LayerSpec("c", 3, 1, 1)], 64, verbose=False)
     assert one[0].n_features == 64 and one[0].receptive == 3
+
+
+def test_effect_dual_net_inpaint_depth():
+    pipe = KenBurnsPipeline.create(
+        jax.random.PRNGKey(0), 64, 64,
+        effect=EffectConfig(num_steps=2, fill_march_steps=8),
+        inpaint_depth=True)
+    frames = pipe(_image(64, 64))
+    assert frames.shape == (2, 64, 64, 3)
