@@ -107,11 +107,12 @@ class EffectConfig:
     validity_threshold: float = 0.03
     depth_range_margin: int = 128
     fill_march_steps: int = 128
-    # Frame-loop splat renderer: 'auto' picks the Pallas tiled kernel when
-    # the trajectory's displacement bound allows, else scatter;
-    # 'pallas' | 'scatter' | 'sorted' force an implementation.
+    # Frame-loop splat renderer: 'auto' == 'routed', the CSR chunk-routed
+    # Pallas kernel (ops/splat_routed.py) — works for every trajectory and
+    # falls back to the exact scatter path per frame on capacity overflow.
+    # 'routed' | 'pallas' (legacy window kernel) | 'scatter' | 'sorted'
+    # force an implementation.
     splat_method: str = "auto"
-    # Upper bound on per-point screen displacement accepted by the Pallas
-    # renderer; 'auto' falls back to scatter when the computed trajectory
-    # bound exceeds this.
+    # Upper bound on per-point screen displacement accepted by the legacy
+    # windowed Pallas renderer (splat_method='pallas' only).
     max_pallas_margin: int = 128

@@ -1,0 +1,485 @@
+"""Routed Pallas TPU splat renderer — CSR chunk routing + fused passes.
+
+Same semantics as the reference CUDA point renderer (utils/common.py:
+``kernel_pointrender_updateZee`` :434-521, ``updateDegrid`` :524-582,
+``updateOutput`` :585-686), golden-tested against ops/splat.py. Replaces
+the window-scan kernel (ops/splat_pallas.py) whose HBM traffic and compute
+scale with the *trajectory displacement bound*: every tile re-read and
+re-scanned a (tile + 2*margin) window, an ~80x read amplification at
+1024^2. Here the work scales with the *actual* per-frame point
+distribution:
+
+  XLA prepass (per frame)
+    1. project all grid points; pack per-(8,128)-chunk records
+       [u, v, zkey, payload..., ones] as (NC, R, 128) so one chunk is one
+       contiguous 32 KB DMA
+    2. per-chunk screen bounding boxes (valid-masked min/max of u, v)
+    3. tile x chunk hit matrix -> tile-major CSR: one 1.5M-key sort gives
+       the concatenated per-tile candidate chunk lists; gather re-orders
+       the records into CSR order
+  Pallas kernel (grid = tiles, offsets scalar-prefetched to SMEM)
+    pass A: stream this tile's chunks (double-buffered DMA), one-hot the
+       nearest-corner indices against the tile region and min-select the
+       z-keys -> raw z-buffer (VPU)
+    degrid: opposing-pair hole closing on the in-register region vector
+       (static lane shifts)
+    pass B: stream the chunks again; one floor-corner one-hot per chunk
+       row feeds two MXU dots: a 4-corner z-buffer gather (visibility
+       test) and the bilinear-weighted payload accumulation
+  XLA epilogue: 2x2 corner shift-add, weight normalization
+
+Capacity: the CSR buffer holds ``capacity_factor * NC`` chunk slots.
+Coherent motion needs ~2-4 slots per chunk (a chunk lands on 1-2 tiles
+plus halo); depth-edge chunks spread wider. If a frame overflows the
+capacity, ``render_grids_fast`` falls back to the exact XLA scatter path
+for that frame via ``lax.cond``, so results are always exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kbe_tpu.ops.geometry import project_points, splat_error
+
+_BIG = 1000000.0
+# Degrid-neighbor disqualifier: plays the role of the spec's +inf padding
+# (ops/splat.py:_degrid_pass) while staying finite for MXU-adjacent math.
+_DISQ = 4000000.0
+_INF = jnp.float32(jnp.inf)
+
+TILE_H = 16
+TILE_W = 128
+CHUNK_H = 8
+CHUNK_W = 128
+# Region around a tile whose raw z-buffer the tile needs: accumulate
+# z-tests corners in [-1, T+1], their degrid needs raw zee in [-2, T+2],
+# and zee receives from floor corners in [-3, T+2]. Origin (-3, -3).
+_HALO_LO = 3
+_HALO_HI = 4  # region size = tile + 7
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pack_records(u, v, key, data):
+    """(G, Hp, Wp) planes + (G, Hp, Wp, D) payload -> (NC, R, 128) records.
+
+    Row layout per chunk: u(8), v(8), key(8), payload ch0(8) ... chD-1(8).
+    """
+    g, hp, wp = u.shape
+    d = data.shape[-1]
+    planes = [u, v, key] + [data[..., i] for i in range(d)]
+    stacked = jnp.stack(planes, axis=0)  # (P, G, Hp, Wp)
+    p = stacked.shape[0]
+    stacked = stacked.reshape(p, g, hp // CHUNK_H, CHUNK_H, wp // CHUNK_W,
+                              CHUNK_W)
+    # -> (G, Hc, Wc, P, 8, 128) -> (NC, P*8, 128)
+    rec = jnp.transpose(stacked, (1, 2, 4, 0, 3, 5))
+    nc = g * (hp // CHUNK_H) * (wp // CHUNK_W)
+    return rec.reshape(nc, p * CHUNK_H, CHUNK_W)
+
+
+def _chunk_boxes(u, v, ok):
+    """Valid-masked per-chunk min/max of u and v. (G, Hp, Wp) -> (NC,) x4."""
+    g, hp, wp = u.shape
+
+    def mm(x, fill, red):
+        x = jnp.where(ok, x, fill)
+        x = x.reshape(g, hp // CHUNK_H, CHUNK_H, wp // CHUNK_W, CHUNK_W)
+        return red(x, axis=(2, 4)).reshape(-1)
+
+    return (mm(u, _INF, jnp.min), mm(u, -_INF, jnp.max),
+            mm(v, _INF, jnp.min), mm(v, -_INF, jnp.max))
+
+
+def _build_csr(minu, maxu, minv, maxv, n_ty, n_tx, capacity):
+    """Tile-major CSR of candidate chunks. Returns (chunk_ids (K,),
+    offsets (T+1,) i32 clipped to K, overflow bool)."""
+    nc = minu.shape[0]
+    t = n_ty * n_tx
+    ty = jnp.arange(n_ty, dtype=jnp.float32) * TILE_H
+    tx = jnp.arange(n_tx, dtype=jnp.float32) * TILE_W
+    hit_y = ((maxv[None, :] >= ty[:, None] - (_HALO_LO + 1.0))
+             & (minv[None, :] <= ty[:, None] + TILE_H + _HALO_HI))
+    hit_x = ((maxu[None, :] >= tx[:, None] - (_HALO_LO + 1.0))
+             & (minu[None, :] <= tx[:, None] + TILE_W + _HALO_HI))
+    hit = (hit_y[:, None, :] & hit_x[None, :, :]).reshape(t, nc)
+
+    cnt = jnp.sum(hit, axis=1, dtype=jnp.int32)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)])
+    overflow = offsets[-1] > capacity
+    offsets = jnp.minimum(offsets, capacity)
+
+    sentinel = jnp.int32(2147483647)
+    keys = jnp.where(hit.reshape(-1),
+                     lax.broadcasted_iota(jnp.int32, (t * nc,), 0), sentinel)
+    skeys = lax.sort(keys)[:capacity]
+    chunk_ids = jnp.where(skeys == sentinel, 0, skeys % nc)
+    return chunk_ids, offsets, overflow
+
+
+def _build_kernel(rgh, rgw, ppad, d, rows_out, height, width):
+    """Fused zee + degrid + accumulate kernel for one tile."""
+    pp = rgh * rgw
+
+    def shift(vec, ofs, fill):
+        # out[i] = vec[i + ofs] for signed ofs; vacated lanes get fill.
+        if ofs == 0:
+            return vec
+        if ofs > 0:
+            return jnp.concatenate(
+                [vec[:, ofs:], jnp.full((1, ofs), fill, jnp.float32)],
+                axis=1)
+        return jnp.concatenate(
+            [jnp.full((1, -ofs), fill, jnp.float32), vec[:, :ofs]], axis=1)
+
+    def _dot_nt(a, b):
+        # (m, k) x (n, k) -> (m, n), f32 accumulation
+        return lax.dot_general(a, b, dimension_numbers=(((1,), (1,)),
+                                                        ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def _dot_cc(a, b):
+        # (k, m) x (k, n) -> (m, n), f32 accumulation
+        return lax.dot_general(a, b, dimension_numbers=(((0,), (0,)),
+                                                        ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def kernel(off_ref, rowcol_ref, rec_hbm, out_ref, rec_vmem, out_scr,
+               copy_sem, out_sem):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        t = ty * pl.num_programs(1) + tx
+        start = off_ref[t]
+        cnt = off_ref[t + 1] - start
+        toy = ty * TILE_H - _HALO_LO
+        tox = tx * TILE_W - _HALO_LO
+
+        iota = lax.broadcasted_iota(jnp.int32, (1, ppad), 1)
+
+        def get_dma(slot, j):
+            return pltpu.make_async_copy(
+                rec_hbm.at[start + j], rec_vmem.at[slot], copy_sem.at[slot])
+
+        def stream(body, init):
+            """Double-buffered loop over this tile's chunks."""
+
+            @pl.when(cnt > 0)
+            def _():
+                get_dma(0, 0).start()
+
+            def loop(j, acc):
+                slot = j % 2
+
+                @pl.when(j + 1 < cnt)
+                def _():
+                    get_dma((j + 1) % 2, j + 1).start()
+
+                get_dma(slot, j).wait()
+                return body(rec_vmem, slot, acc)
+
+            return lax.fori_loop(0, cnt, loop, init)
+
+        # ---- pass A: raw z-buffer via nearest-corner min-select ----
+        def zee_row(rec, slot, r, acc):
+            uu = rec[slot, r, :]
+            vv = rec[slot, CHUNK_H + r, :]
+            kk = rec[slot, 2 * CHUNK_H + r, :]
+            x0 = jnp.floor(uu)
+            y0 = jnp.floor(vv)
+            gx = x0.astype(jnp.int32) + (uu - x0 > 0.5)
+            gy = y0.astype(jnp.int32) + (vv - y0 > 0.5)
+            ix = gx - tox
+            iy = gy - toy
+            inb = ((gx >= 0) & (gx < width) & (gy >= 0) & (gy < height)
+                   & (ix >= 0) & (ix < rgw) & (iy >= 0) & (iy < rgh))
+            q = jnp.where(inb, iy * rgw + ix, -1)
+            eq = q[:, None] == iota
+            vals = jnp.where(eq, kk[:, None], _BIG)
+            return jnp.minimum(acc, jnp.min(vals, axis=0, keepdims=True))
+
+        def zee_chunk(rec, slot, acc):
+            for r in range(CHUNK_H):
+                acc = zee_row(rec, slot, r, acc)
+            return acc
+
+        # Hole value 0.0 == the spec's 1e6 z-far in offset-removed key space.
+        zee = stream(zee_chunk, jnp.zeros((1, ppad), jnp.float32))
+
+        # Region cells outside the image are disqualified as degrid
+        # neighbors (ops/splat.py:_degrid_pass pads with inf). Row/col
+        # lookup tables avoid integer div/mod by the non-pow2 region width.
+        col = rowcol_ref[0:1, :]
+        row = rowcol_ref[4:5, :]
+        inimg = ((col + tox >= 0) & (col + tox < width)
+                 & (row + toy >= 0) & (row + toy < height) & (iota < pp))
+        zee = jnp.where(inimg, zee, _DISQ)
+
+        # ---- degrid: opposing-pair hole closing (static lane shifts) ----
+        # The averaging accumulates at the spec's 1e6 magnitude (re-offset
+        # by _BIG) so every intermediate f32 rounding matches the spec
+        # bit-for-bit: summed neighbors round on the coarse ~0.125 grid at
+        # 2e6, which shifted-space math would skip — and z-test ties
+        # against the resulting averages are EXACT ties in practice.
+        total = jnp.zeros((1, ppad), jnp.float32)
+        count = jnp.zeros((1, ppad), jnp.float32)
+        for dx, dy in ((1, 0), (0, 1), (1, 1), (1, -1)):
+            ofs = dy * rgw + dx
+            one = shift(zee, ofs, _DISQ)
+            two = shift(zee, -ofs, _DISQ)
+            good = (zee >= one + 1.0) & (zee >= two + 1.0)
+            total = total + jnp.where(good, (one + _BIG) + (two + _BIG),
+                                      0.0)
+            count = count + jnp.where(good, 2.0, 0.0)
+        avg = total / jnp.maximum(count, 1.0) - _BIG
+        zee_d = jnp.where(count > 0.0, jnp.minimum(zee, avg), zee)
+        # restore the hole value at out-of-image cells for the z-test
+        # (never consumed: accumulate corners are globally in-bounds)
+        zee_d = jnp.where(inimg, zee_d, 0.0)
+
+        # 4-corner shifted z-planes: z4[c][q] = zee_d[q + ofs_c]. Fill with
+        # _BIG, not inf: 0 * inf in the one-hot gather dot would be NaN.
+        z4 = jnp.concatenate(
+            [shift(zee_d, c_dy * rgw + c_dx, _BIG)
+             for c_dy in (0, 1) for c_dx in (0, 1)], axis=0)  # (4, ppad)
+        z4_hi = z4.astype(jnp.bfloat16)
+        z4_mid = (z4 - z4_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        z4_lo = (z4 - z4_hi.astype(jnp.float32)
+                 - z4_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        # ---- pass B: floor-corner one-hot -> z-gather + accumulate ----
+        def acc_row(rec, slot, r, acc):
+            uu = rec[slot, r, :]
+            vv = rec[slot, CHUNK_H + r, :]
+            kk = rec[slot, 2 * CHUNK_H + r, :]
+            x0 = jnp.floor(uu)
+            y0 = jnp.floor(vv)
+            fx = uu - x0
+            fy = vv - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            ix = x0i - tox
+            iy = y0i - toy
+            inb = (ix >= 0) & (ix < rgw - 1) & (iy >= 0) & (iy < rgh - 1)
+            q = jnp.where(inb, iy * rgw + ix, -1)
+            onehot = (q[:, None] == iota).astype(jnp.float32)
+
+            # Manual 3-pass bf16 gather (Mosaic has no HIGH precision and
+            # HIGHEST overflows VMEM): the one-hot is EXACT in bf16, and a
+            # 3-way bf16 split of the offset-removed z-plane (range ~1e4,
+            # see render_grids_routed) resolves the +1.0 z-test to ~1e-4,
+            # below the spec keys' own 0.0625 quantization grid.
+            oh_bf = onehot.astype(jnp.bfloat16)
+            z_at = (_dot_nt(oh_bf, z4_hi) + _dot_nt(oh_bf, z4_mid)
+                    + _dot_nt(oh_bf, z4_lo))  # (128, 4)
+            w4 = jnp.concatenate(
+                [((1 - fy) * (1 - fx))[:, None], ((1 - fy) * fx)[:, None],
+                 (fy * (1 - fx))[:, None], (fy * fx)[:, None]], axis=1)
+            corner = lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+            gx = x0i[:, None] + corner % 2
+            gy = y0i[:, None] + corner // 2
+            ginb = (gx >= 0) & (gx < width) & (gy >= 0) & (gy < height)
+            vis = ginb & (kk[:, None] <= z_at + 1.0)
+            weff = jnp.where(vis, w4, 0.0)  # (128, 4)
+
+            pmat = jnp.concatenate(
+                [rec[slot, (3 + ch) * CHUNK_H + r, :][:, None]
+                 for ch in range(d)], axis=1)  # (128, D)
+            rhs = jnp.concatenate(
+                [weff[:, c:c + 1] * pmat for c in range(4)], axis=1)
+            rhs = jnp.pad(rhs, ((0, 0), (0, rows_out - 4 * d)))
+            # hi+lo bf16 payload split against the exact bf16 one-hot:
+            # ~2^-16 relative accumulation error.
+            rhs_hi = rhs.astype(jnp.bfloat16)
+            rhs_lo = (rhs - rhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (acc + _dot_cc(rhs_hi, oh_bf)
+                    + _dot_cc(rhs_lo, oh_bf))  # (rows_out, ppad)
+
+        def acc_chunk(rec, slot, acc):
+            for r in range(CHUNK_H):
+                acc = acc_row(rec, slot, r, acc)
+            return acc
+
+        acc = stream(acc_chunk, jnp.zeros((rows_out, ppad), jnp.float32))
+        out_scr[:, :] = acc
+        cp = pltpu.make_async_copy(out_scr, out_ref.at[t], out_sem)
+        cp.start()
+        cp.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "capacity_factor",
+                              "interpret"))
+def render_grids_routed(
+    xyz: jax.Array,
+    data: jax.Array,
+    height: int,
+    width: int,
+    focal,
+    baseline,
+    valid: jax.Array | None = None,
+    capacity_factor: int = 6,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Render grid-structured clouds by routed tiled splatting.
+
+    Args:
+      xyz: (G, H, W, 3) stacked pixel-grid clouds.
+      data: (G, H, W, C) payload, C <= 6.
+      valid: (G, H, W) or None.
+      capacity_factor: CSR capacity in units of the chunk count.
+
+    Returns (rendered (1, H, W, C), existing (1, H, W, 1), overflow bool).
+    On overflow the image outputs are garbage — check the flag (or use
+    render_grids_fast, which falls back automatically).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    g, h, w = xyz.shape[0], xyz.shape[1], xyz.shape[2]
+    c = data.shape[-1]
+    if c > 6:
+        raise ValueError("routed renderer supports payloads up to 6 "
+                         "channels; use the scatter path for wide payloads")
+    if valid is None:
+        valid = jnp.ones((g, h, w), xyz.dtype)
+
+    u, v, ok = project_points(xyz, height, width, focal)
+    ok = ok & (valid > 0.0)
+    # Offset-removed z-key: splat_error rides on a 1e6 offset; subtracting
+    # it is EXACT in f32 (Sterbenz: both operands within a factor of 2), so
+    # the kernel compares the spec's keys bit-for-bit while keeping their
+    # magnitude small enough for 3-pass MXU gathers. All in-kernel
+    # comparisons (+1.0 z-test, degrid) are offset-invariant.
+    # The optimization barrier stops XLA from cancelling (1e6 - x) - 1e6
+    # to -x, which would skip the spec's f32 quantization of keys to the
+    # ~0.06 grid at 1e6 magnitude and flip comparison ties.
+    key = lax.optimization_barrier(
+        splat_error(xyz[..., 2], focal, baseline)) - _BIG
+
+    # pad planes to chunk multiples
+    hp = _ceil_to(h, CHUNK_H)
+    wp = _ceil_to(w, CHUNK_W)
+    padding = ((0, 0), (0, hp - h), (0, wp - w))
+    pad_u = jnp.pad(jnp.where(ok, u, -1e9).astype(jnp.float32), padding,
+                    constant_values=-1e9)
+    pad_v = jnp.pad(jnp.where(ok, v, -1e9).astype(jnp.float32), padding,
+                    constant_values=-1e9)
+    pad_k = jnp.pad(jnp.where(ok, key, _BIG).astype(jnp.float32), padding,
+                    constant_values=_BIG)
+    ones = ok.astype(jnp.float32)[..., None]
+    pay = jnp.concatenate([data.astype(jnp.float32) * ones, ones], axis=-1)
+    pad_p = jnp.pad(pay, padding + ((0, 0),))
+    ok_p = jnp.pad(ok, padding)
+
+    d = c + 1
+    records = _pack_records(pad_u, pad_v, pad_k, pad_p)
+    nc, rec_rows = records.shape[0], records.shape[1]
+
+    n_ty = -(-height // TILE_H)
+    n_tx = -(-width // TILE_W)
+    t = n_ty * n_tx
+    capacity = int(capacity_factor) * nc
+
+    minu, maxu, minv, maxv = _chunk_boxes(pad_u, pad_v, ok_p)
+    chunk_ids, offsets, overflow = _build_csr(minu, maxu, minv, maxv, n_ty,
+                                              n_tx, capacity)
+    rec_csr = jnp.take(records, chunk_ids, axis=0)
+
+    rgh = TILE_H + _HALO_LO + _HALO_HI
+    rgw = TILE_W + _HALO_LO + _HALO_HI
+    pp = rgh * rgw
+    ppad = _ceil_to(pp, 128)
+    rows_out = _ceil_to(4 * d, 8)
+
+    flat = np.arange(ppad, dtype=np.int32)
+    rowcol = jnp.asarray(np.stack([flat % rgw, flat // rgw])
+                         .reshape(2, 1, ppad)
+                         .repeat(4, axis=1).reshape(8, ppad))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, rec_rows, CHUNK_W), jnp.float32),
+            pltpu.VMEM((rows_out, ppad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    acc_flat = pl.pallas_call(
+        _build_kernel(rgh, rgw, ppad, d, rows_out, height, width),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, rows_out, ppad), jnp.float32),
+        interpret=interpret,
+    )(offsets, rowcol, rec_csr)
+
+    # ---- epilogue: corner shift-add over the region grid ----
+    acc = acc_flat[:, :4 * d, :pp].reshape(n_ty, n_tx, 4, d, rgh, rgw)
+    # contribution stored at floor position q for corner (dy, dx) belongs
+    # to pixel q + (dy, dx); pixel (y, x) local index = (y + HALO_LO + dy?)
+    # -> slice [HALO_LO - dy, ...)
+    out = jnp.zeros((n_ty, n_tx, d, TILE_H, TILE_W), jnp.float32)
+    for ci, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        y0 = _HALO_LO - dy
+        x0 = _HALO_LO - dx
+        out = out + acc[:, :, ci, :, y0:y0 + TILE_H, x0:x0 + TILE_W]
+    img = jnp.transpose(out, (0, 3, 1, 4, 2)).reshape(
+        n_ty * TILE_H, n_tx * TILE_W, d)[:height, :width]
+
+    rendered = img[..., :c] / (img[..., c:] + 1e-7)
+    existing = img[..., c]
+    return rendered[None], existing[None, ..., None], overflow
+
+
+def render_grids_fast(
+    xyz: jax.Array,
+    data: jax.Array,
+    height: int,
+    width: int,
+    focal,
+    baseline,
+    valid: jax.Array | None = None,
+    capacity_factor: int = 6,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Routed renderer with exact scatter fallback on CSR overflow.
+
+    Same call surface as ops/splat.py:render_pointcloud restricted to
+    grid-structured clouds; always exact.
+    """
+    from kbe_tpu.ops.splat import render_pointcloud
+
+    g = xyz.shape[0]
+    if valid is None:
+        valid = jnp.ones(xyz.shape[:3], xyz.dtype)
+    rendered, existing, overflow = render_grids_routed(
+        xyz, data, height, width, focal, baseline, valid,
+        capacity_factor=capacity_factor, interpret=interpret)
+
+    def fallback(_):
+        r, e = render_pointcloud(
+            xyz.reshape(1, -1, 3), data.reshape(1, g * xyz.shape[1]
+                                                * xyz.shape[2], -1),
+            height, width, focal, baseline, valid=valid.reshape(1, -1),
+            method="scatter")
+        return r, e
+
+    return lax.cond(overflow, fallback,
+                    lambda _: (rendered, existing), operand=None)

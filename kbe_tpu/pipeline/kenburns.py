@@ -159,17 +159,19 @@ def build_effect_fn(
     max_cw = max(zoom.src.crop_width, zoom.dst.crop_width)
     max_ch = max(zoom.src.crop_height, zoom.dst.crop_height)
 
-    # frame-loop renderer selection (static)
+    # frame-loop renderer selection (static). "routed" (the default) has no
+    # displacement bound: per-frame CSR routing adapts to the actual point
+    # distribution and falls back to the exact scatter path on capacity
+    # overflow, so it covers every trajectory including dolly.
     margin = displacement_margin(zoom, camera, effect, width, height)
     splat = effect.splat_method
     if splat == "auto":
-        splat = ("pallas" if margin <= effect.max_pallas_margin
-                 else "scatter")
+        splat = "routed"
     if splat == "pallas" and margin > effect.max_pallas_margin:
         raise ValueError(
             f"trajectory displacement bound {margin}px exceeds "
             f"max_pallas_margin={effect.max_pallas_margin}; use "
-            "splat_method='scatter'")
+            "splat_method='routed'")
 
     def _net_apply(params, data, masks):
         if partial_inpainting:
@@ -247,7 +249,13 @@ def build_effect_fn(
             xyz = apply_shift(cloud_xyz, shift)
             data = jnp.concatenate(
                 [cloud_data[..., 0:3], cloud_data[..., 4:5]], axis=-1)
-            if splat == "pallas":
+            if splat == "routed":
+                from kbe_tpu.ops.splat_routed import render_grids_fast
+
+                render, weight = render_grids_fast(
+                    xyz, data, height, width, focal, camera.baseline,
+                    valid=cloud_valid)
+            elif splat == "pallas":
                 from kbe_tpu.ops.splat_pallas import render_grids_pallas
 
                 render, weight = render_grids_pallas(
@@ -270,9 +278,9 @@ def build_effect_fn(
             return out
 
         xs = (jnp.asarray(steps, jnp.float32), jnp.asarray(focals))
-        # The Pallas renderer cannot run under vmap (ANY-space refs), so
+        # The Pallas renderers cannot run under vmap (ANY-space refs), so
         # frames go sequentially there; the scatter path batches chunks.
-        chunk = None if splat == "pallas" else frame_chunk
+        chunk = None if splat in ("pallas", "routed") else frame_chunk
         frames = jax.lax.map(render_frame, xs, batch_size=chunk)
         return frames
 
