@@ -33,7 +33,7 @@ from kbe_tpu.models import (
     Semantics,
 )
 from kbe_tpu.models.gridnet import ContextNet
-from kbe_tpu.ops.discfill import fill_disocclusion
+from kbe_tpu.ops.discfill_pallas import fill_disocclusion_pallas
 from kbe_tpu.ops.geometry import (
     apply_shift,
     depth_range,
@@ -267,8 +267,8 @@ def build_effect_fn(
                     width, focal, camera.baseline,
                     valid=cloud_valid.reshape(1, -1), method=splat)
             render_depth = render[..., 3:4] * (weight > 0.0)
-            filled = fill_disocclusion(render, render_depth,
-                                       effect.fill_march_steps)
+            filled = fill_disocclusion_pallas(render, render_depth,
+                                              effect.fill_march_steps)
             # uint8 quantization happens before crop in the reference
             # (utils/common.py:255): clip + truncate.
             rgb = jnp.floor(jnp.clip(filled[..., 0:3] * 255.0, 0.0, 255.0))
