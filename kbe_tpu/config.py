@@ -113,6 +113,10 @@ class EffectConfig:
     # 'routed' | 'pallas' (legacy window kernel) | 'scatter' | 'sorted'
     # force an implementation.
     splat_method: str = "auto"
+    # CSR-overflow behavior of the routed renderer: 'clip' (graceful
+    # degradation, fast compile) or 'scatter' (exact in-graph fallback,
+    # adds the scatter renderer's multi-minute XLA compile to the program).
+    splat_fallback: str = "clip"
     # Upper bound on per-point screen displacement accepted by the legacy
     # windowed Pallas renderer (splat_method='pallas' only).
     max_pallas_margin: int = 128

@@ -101,17 +101,17 @@ def _chunk_boxes(u, v, ok):
             mm(v, _INF, jnp.min), mm(v, -_INF, jnp.max))
 
 
-def _build_csr(minu, maxu, minv, maxv, n_ty, n_tx, capacity):
+def _build_csr(minu, maxu, minv, maxv, n_ty, n_tx, capacity, th, tw):
     """Tile-major CSR of candidate chunks. Returns (chunk_ids (K,),
     offsets (T+1,) i32 clipped to K, overflow bool)."""
     nc = minu.shape[0]
     t = n_ty * n_tx
-    ty = jnp.arange(n_ty, dtype=jnp.float32) * TILE_H
-    tx = jnp.arange(n_tx, dtype=jnp.float32) * TILE_W
+    ty = jnp.arange(n_ty, dtype=jnp.float32) * th
+    tx = jnp.arange(n_tx, dtype=jnp.float32) * tw
     hit_y = ((maxv[None, :] >= ty[:, None] - (_HALO_LO + 1.0))
-             & (minv[None, :] <= ty[:, None] + TILE_H + _HALO_HI))
+             & (minv[None, :] <= ty[:, None] + th + _HALO_HI))
     hit_x = ((maxu[None, :] >= tx[:, None] - (_HALO_LO + 1.0))
-             & (minu[None, :] <= tx[:, None] + TILE_W + _HALO_HI))
+             & (minu[None, :] <= tx[:, None] + tw + _HALO_HI))
     hit = (hit_y[:, None, :] & hit_x[None, :, :]).reshape(t, nc)
 
     cnt = jnp.sum(hit, axis=1, dtype=jnp.int32)
@@ -128,7 +128,7 @@ def _build_csr(minu, maxu, minv, maxv, n_ty, n_tx, capacity):
     return chunk_ids, offsets, overflow
 
 
-def _build_kernel(rgh, rgw, ppad, d, rows_out, height, width):
+def _build_kernel(rgh, rgw, ppad, d, rows_out, height, width, th, tw):
     """Fused zee + degrid + accumulate kernel for one tile."""
     pp = rgh * rgw
 
@@ -162,8 +162,8 @@ def _build_kernel(rgh, rgw, ppad, d, rows_out, height, width):
         t = ty * pl.num_programs(1) + tx
         start = off_ref[t]
         cnt = off_ref[t + 1] - start
-        toy = ty * TILE_H - _HALO_LO
-        tox = tx * TILE_W - _HALO_LO
+        toy = ty * th - _HALO_LO
+        tox = tx * tw - _HALO_LO
 
         iota = lax.broadcasted_iota(jnp.int32, (1, ppad), 1)
 
@@ -349,8 +349,8 @@ def render_grids_routed(
         interpret = jax.default_backend() != "tpu"
     g, h, w = xyz.shape[0], xyz.shape[1], xyz.shape[2]
     c = data.shape[-1]
-    if c > 6:
-        raise ValueError("routed renderer supports payloads up to 6 "
+    if c > 72:
+        raise ValueError("routed renderer supports payloads up to 72 "
                          "channels; use the scatter path for wide payloads")
     if valid is None:
         valid = jnp.ones((g, h, w), xyz.dtype)
@@ -387,18 +387,22 @@ def render_grids_routed(
     records = _pack_records(pad_u, pad_v, pad_k, pad_p)
     nc, rec_rows = records.shape[0], records.shape[1]
 
-    n_ty = -(-height // TILE_H)
-    n_tx = -(-width // TILE_W)
+    # Wide payloads (the 68-channel inpainting bootstrap) shrink the tile
+    # so the (rows_out, ppad) accumulator + output scratch fit VMEM.
+    th = TILE_H if c <= 8 else 8
+    tw = TILE_W
+    n_ty = -(-height // th)
+    n_tx = -(-width // tw)
     t = n_ty * n_tx
     capacity = int(capacity_factor) * nc
 
     minu, maxu, minv, maxv = _chunk_boxes(pad_u, pad_v, ok_p)
     chunk_ids, offsets, overflow = _build_csr(minu, maxu, minv, maxv, n_ty,
-                                              n_tx, capacity)
+                                              n_tx, capacity, th, tw)
     rec_csr = jnp.take(records, chunk_ids, axis=0)
 
-    rgh = TILE_H + _HALO_LO + _HALO_HI
-    rgw = TILE_W + _HALO_LO + _HALO_HI
+    rgh = th + _HALO_LO + _HALO_HI
+    rgw = tw + _HALO_LO + _HALO_HI
     pp = rgh * rgw
     ppad = _ceil_to(pp, 128)
     rows_out = _ceil_to(4 * d, 8)
@@ -424,7 +428,7 @@ def render_grids_routed(
         ],
     )
     acc_flat = pl.pallas_call(
-        _build_kernel(rgh, rgw, ppad, d, rows_out, height, width),
+        _build_kernel(rgh, rgw, ppad, d, rows_out, height, width, th, tw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, rows_out, ppad), jnp.float32),
         interpret=interpret,
@@ -435,13 +439,13 @@ def render_grids_routed(
     # contribution stored at floor position q for corner (dy, dx) belongs
     # to pixel q + (dy, dx); pixel (y, x) local index = (y + HALO_LO + dy?)
     # -> slice [HALO_LO - dy, ...)
-    out = jnp.zeros((n_ty, n_tx, d, TILE_H, TILE_W), jnp.float32)
+    out = jnp.zeros((n_ty, n_tx, d, th, tw), jnp.float32)
     for ci, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
         y0 = _HALO_LO - dy
         x0 = _HALO_LO - dx
-        out = out + acc[:, :, ci, :, y0:y0 + TILE_H, x0:x0 + TILE_W]
+        out = out + acc[:, :, ci, :, y0:y0 + th, x0:x0 + tw]
     img = jnp.transpose(out, (0, 3, 1, 4, 2)).reshape(
-        n_ty * TILE_H, n_tx * TILE_W, d)[:height, :width]
+        n_ty * th, n_tx * tw, d)[:height, :width]
 
     rendered = img[..., :c] / (img[..., c:] + 1e-7)
     existing = img[..., c]
@@ -458,11 +462,24 @@ def render_grids_fast(
     valid: jax.Array | None = None,
     capacity_factor: int = 6,
     interpret: bool | None = None,
+    fallback: str = "clip",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Routed renderer with exact scatter fallback on CSR overflow.
+    """Routed renderer with a choice of CSR-overflow behavior.
 
     Same call surface as ops/splat.py:render_pointcloud restricted to
-    grid-structured clouds; always exact.
+    grid-structured clouds.
+
+    fallback:
+      'clip'    — tiles beyond the clipped CSR capacity lose their excess
+                  candidate chunks: a graceful degradation (missing splats
+                  become holes for the disocclusion fill). Overflow needs
+                  > capacity_factor x chunk-count tile hits; coherent
+                  camera motion sits near 4x, so this effectively never
+                  triggers outside adversarial depth maps. Keeps the
+                  scatter graph out of the program (it costs minutes of
+                  XLA compile per distinct shape).
+      'scatter' — exact per-frame lax.cond fallback to the XLA scatter
+                  renderer.
     """
     from kbe_tpu.ops.splat import render_pointcloud
 
@@ -472,8 +489,10 @@ def render_grids_fast(
     rendered, existing, overflow = render_grids_routed(
         xyz, data, height, width, focal, baseline, valid,
         capacity_factor=capacity_factor, interpret=interpret)
+    if fallback == "clip":
+        return rendered, existing
 
-    def fallback(_):
+    def do_fallback(_):
         r, e = render_pointcloud(
             xyz.reshape(1, -1, 3), data.reshape(1, g * xyz.shape[1]
                                                 * xyz.shape[2], -1),
@@ -481,5 +500,5 @@ def render_grids_fast(
             method="scatter")
         return r, e
 
-    return lax.cond(overflow, fallback,
+    return lax.cond(overflow, do_fallback,
                     lambda _: (rendered, existing), operand=None)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from kbe_tpu.config import CameraConfig
 from kbe_tpu.ops.filters import median_filter, validity_mask
 from kbe_tpu.ops.geometry import depth_to_points, disparity_to_depth
-from kbe_tpu.ops.splat import render_pointcloud
+from kbe_tpu.ops.splat_routed import render_grids_fast
 from kbe_tpu.models.layers import denormalize_sample, normalize_sample
 
 
@@ -80,9 +80,13 @@ def pointcloud_inpainting(
     def render_with(context_fn):
         context = context_fn(image_n, disp_n)
         payload = jnp.concatenate([image_n, disp_n, context], axis=-1)
-        render, weight = render_pointcloud(
-            points + shift, payload.reshape(1, h * w, -1), h, w, focal,
-            camera.baseline)
+        # the cloud is the single pixel grid: the routed renderer carries
+        # the full 68-channel payload in one pass (overflow is out of
+        # reach for a one-grid bootstrap shift; 'clip' keeps the scatter
+        # graph out of the compiled program)
+        render, weight = render_grids_fast(
+            (points + shift).reshape(1, h, w, 3),
+            payload.reshape(1, h, w, -1), h, w, focal, camera.baseline)
         existing = (weight > 0.0).astype(jnp.float32)
         existing = existing * median_filter(existing, 5)
         return render * jax.lax.stop_gradient(existing), existing

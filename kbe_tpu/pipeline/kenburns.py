@@ -254,7 +254,7 @@ def build_effect_fn(
 
                 render, weight = render_grids_fast(
                     xyz, data, height, width, focal, camera.baseline,
-                    valid=cloud_valid)
+                    valid=cloud_valid, fallback=effect.splat_fallback)
             elif splat == "pallas":
                 from kbe_tpu.ops.splat_pallas import render_grids_pallas
 

@@ -75,7 +75,8 @@ def test_routed_overflow_falls_back_to_scatter():
     assert bool(ovf)
     want_r, want_e = _scatter(xyz, data, valid, h, w, focal, baseline)
     got_r, got_e = render_grids_fast(xyz, data, h, w, focal, baseline,
-                                     valid=valid, capacity_factor=1)
+                                     valid=valid, capacity_factor=1,
+                                     fallback="scatter")
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
@@ -91,3 +92,19 @@ def test_routed_all_invalid_empty_render():
     assert not bool(ovf)
     assert float(jnp.max(got_e)) == 0.0
     assert float(jnp.max(jnp.abs(got_r))) == 0.0
+
+
+def test_routed_wide_payload_matches_scatter():
+    # the 68-channel inpainting-bootstrap payload path
+    h, w, focal, baseline = 32, 128, 100.0, 40.0
+    xyz, data, valid = _scene(h, w, focal, seed=4)
+    rng = np.random.default_rng(5)
+    wide = jnp.asarray(rng.uniform(0, 1, (2, h, w, 20)), jnp.float32)
+    want_r, want_e = _scatter(xyz, wide, valid, h, w, focal, baseline)
+    got_r, got_e, ovf = render_grids_routed(xyz, wide, h, w, focal,
+                                            baseline, valid=valid)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=2e-4)
