@@ -1,8 +1,7 @@
 """Benchmark: full 3D Ken Burns effect throughput on one chip.
 
-Default size 512 (the Pallas tiled renderer engages under the default
-trajectory's displacement bound; 1024 currently falls back to the scatter
-renderer and runs ~4x slower per frame — see ops/splat_pallas.py).
+Default size 512; the routed CSR renderer (ops/splat_routed.py) is the
+frame renderer at every size.
 
 Headline metric (BASELINE.md): KBE frames/sec/chip at 1024^2 — the
 reference's fixed effect is 75 frames per video and the north-star target
