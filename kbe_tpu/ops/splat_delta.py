@@ -1,0 +1,487 @@
+"""Displacement-decomposed Pallas splat renderer (the "delta" kernel).
+
+Third-generation renderer (after ops/splat.py scatter and
+ops/splat_routed.py one-hot/CSR): same semantics as the reference CUDA
+point renderer, golden-tested against ops/splat.py.
+
+STATUS: experimental (splat_method='delta'). On fully coherent clouds it
+beats the routed kernel by ~30% (v5e: 48 ms vs 70 ms per 512^2 frame,
+199 ms vs 259 ms at 1024^2, exact vs the scatter spec). On real scenes
+its per-chunk delta rectangles blow up at depth discontinuities and on
+inpaint grids (mixed near/far content): the loop is clamped to the tile
+window but still iterates the full rectangle, so incoherent chunks cost
+~1000x coherent ones and end-to-end it LOSES to the routed kernel. The
+fix — per-delta-row bounds plus routing incoherent chunks to the one-hot
+path with a shared z-buffer — is future work; the routed kernel stays
+the default.
+
+Key observation: within one (8, 128) source chunk, the camera warp is an
+almost-constant integer displacement plus bilinear fractions. Group the
+chunk's points by their integer displacement delta = (floor target -
+source): for a FIXED delta, source -> target is INJECTIVE, so the whole
+group merges into the tile region as ONE dense (8, 128) block operation —
+a z-buffer min-merge or a payload add at a dynamic offset — with no
+one-hot matrices and no MXU at all. A chunk's delta range is its
+screen-space spread: 1-2 values for coherent motion, wider only at depth
+discontinuities, and the per-chunk loop adapts dynamically.
+
+The 4-corner bilinear weights factor separably per delta:
+    sum_c mask_c * w_c = (my0*(1-fy) + my1*fy) * (mx0*(1-fx) + mx1*fx)
+with my_cy = (dy == delta_y - cy), mx_cx = (dx == delta_x - cx) — six
+vector ops replace the one-hot accumulation dot.
+
+Block placement uses the discfill_pallas trick: aligned (16, 256)
+read-modify-write windows with in-register pltpu.roll for the unaligned
+remainder (Mosaic needs provably (8, 128)-aligned vector slices).
+
+Everything else (chunk records, CSR routing via one sort, scalar-
+prefetched offsets, offset-removed z-keys behind an optimization
+barrier, spec-rounded degrid averaging) is shared with ops/splat_routed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kbe_tpu.ops.geometry import project_points, splat_error
+from kbe_tpu.ops.splat_routed import _BIG, _DISQ, _build_csr, _ceil_to, \
+    _chunk_boxes
+
+CHUNK_H = 8
+CHUNK_W = 128
+TILE_H = 16
+TILE_W = 128
+_HALO_LO = 3
+_HALO_HI = 4
+# sentinel displacement for invalid points: outside any real delta range
+_DSENT = 20000
+
+
+def _pack_records_delta(dy, dx, fx, fy, key, pay):
+    """Planes (G, Hp, Wp) + payload (G, Hp, Wp, D) -> (NC, R, 128) records.
+
+    Row layout per chunk: dy(8), dx(8), fx(8), fy(8), key(8), pay ch*(8).
+    """
+    g, hp, wp = dy.shape
+    d = pay.shape[-1]
+    planes = [dy, dx, fx, fy, key] + [pay[..., i] for i in range(d)]
+    stacked = jnp.stack(planes, axis=0)
+    p = stacked.shape[0]
+    stacked = stacked.reshape(p, g, hp // CHUNK_H, CHUNK_H, wp // CHUNK_W,
+                              CHUNK_W)
+    rec = jnp.transpose(stacked, (1, 2, 4, 0, 3, 5))
+    nc = g * (hp // CHUNK_H) * (wp // CHUNK_W)
+    return rec.reshape(nc, p * CHUNK_H, CHUNK_W)
+
+
+def _build_delta_kernel(d, bh, bw, rgh, rgw, height, width):
+    """Fused zee + degrid + accumulate over rolled dense blocks.
+
+    Buffer layout: region cell (ry, rx) (origin -HALO_LO relative to the
+    tile) lives at buffer[(ry + PAD_Y), (rx + PAD_X)].
+    """
+    pad_y = CHUNK_H          # out-of-region spill margin (rows)
+    pad_x = CHUNK_W          # (lanes)
+
+    def kernel(off_ref, cy_ref, cx_ref, rec_hbm, out_ref, rec_vmem, zee_buf,
+               acc_buf, copy_sem, out_sem):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        t = ty * pl.num_programs(1) + tx
+        start = off_ref[t]
+        cnt = off_ref[t + 1] - start
+        toy = ty * TILE_H - _HALO_LO
+        tox = tx * TILE_W - _HALO_LO
+
+        row8 = lax.broadcasted_iota(jnp.int32, (CHUNK_H, CHUNK_W), 0)
+        lane128 = lax.broadcasted_iota(jnp.int32, (CHUNK_H, CHUNK_W), 1)
+
+        def get_dma(slot, j):
+            return pltpu.make_async_copy(
+                rec_hbm.at[start + j], rec_vmem.at[slot], copy_sem.at[slot])
+
+        def stream(body):
+            @pl.when(cnt > 0)
+            def _():
+                get_dma(0, 0).start()
+
+            def loop(j, carry):
+                slot = j % 2
+
+                @pl.when(j + 1 < cnt)
+                def _():
+                    get_dma((j + 1) % 2, j + 1).start()
+
+                get_dma(slot, j).wait()
+                body(slot, j)
+                return carry
+
+            lax.fori_loop(0, cnt, loop, 0)
+
+        def chunk_fields(slot):
+            rec = rec_vmem
+            dyi = rec[slot, 0:CHUNK_H, :].astype(jnp.int32)
+            dxi = rec[slot, CHUNK_H:2 * CHUNK_H, :].astype(jnp.int32)
+            fx = rec[slot, 2 * CHUNK_H:3 * CHUNK_H, :]
+            fy = rec[slot, 3 * CHUNK_H:4 * CHUNK_H, :]
+            kk = rec[slot, 4 * CHUNK_H:5 * CHUNK_H, :]
+            return dyi, dxi, fx, fy, kk
+
+        def place(block, pos_y, pos_x, merge):
+            """Merge a (8, 128) block into a buffer at region position
+            (pos_y, pos_x) via an aligned (16, 256) read-modify-write."""
+            by = pos_y + pad_y
+            bx = pos_x + pad_x
+            ybase = (by // CHUNK_H) * CHUNK_H
+            xbase = (bx // CHUNK_W) * CHUNK_W
+            oy = by - ybase
+            ox = bx - xbase
+            merge(ybase, xbase, oy, ox, block)
+
+        def delta_loop(dyi_sel, dxi_sel, base_y, base_x, hi_pad, body):
+            """Run body(delta_y, delta_x) over the chunk's delta bounding
+            rectangle (valid-masked min/max, corner-extended by hi_pad),
+            CLAMPED to deltas whose block can overlap this tile's region —
+            a chunk with widely spread points (e.g. an inpaint grid mixing
+            near and far content) must not drive a huge loop."""
+            vy = jnp.where(dyi_sel < _DSENT // 2, dyi_sel, _DSENT)
+            ymin = jnp.min(vy)
+            ymax = jnp.max(jnp.where(dyi_sel < _DSENT // 2, dyi_sel,
+                                     -_DSENT)) + hi_pad
+            vx = jnp.where(dxi_sel < _DSENT // 2, dxi_sel, _DSENT)
+            xmin = jnp.min(vx)
+            xmax = jnp.max(jnp.where(dxi_sel < _DSENT // 2, dxi_sel,
+                                     -_DSENT)) + hi_pad
+            # block at delta overlaps region iff pos = base + delta is in
+            # (-CHUNK, rg): clamp the loop to that window
+            ymin = jnp.maximum(ymin, -CHUNK_H + 1 - base_y)
+            ymax = jnp.minimum(ymax, rgh - 1 - base_y)
+            xmin = jnp.maximum(xmin, -CHUNK_W + 1 - base_x)
+            xmax = jnp.minimum(xmax, rgw - 1 - base_x)
+
+            def y_body(dly, _):
+                def x_body(dlx, __):
+                    body(dly, dlx)
+                    return 0
+
+                lax.fori_loop(xmin, xmax + 1, x_body, 0)
+                return 0
+
+            lax.fori_loop(ymin, ymax + 1, y_body, 0)
+
+        # ---- pass A: raw zee via per-delta min-merges ----
+        def zee_chunk(slot, j):
+            dyi, dxi, fx, fy, kk = chunk_fields(slot)
+            cy0 = cy_ref[start + j]
+            cx0 = cx_ref[start + j]
+            base_y = cy0 - toy
+            base_x = cx0 - tox
+            dyn = dyi + (fy > 0.5)
+            dxn = dxi + (fx > 0.5)
+            gy = cy0 + row8 + dyn
+            gx = cx0 + lane128 + dxn
+            ginb = (gy >= 0) & (gy < height) & (gx >= 0) & (gx < width)
+
+            def body(dly, dlx):
+                pos_y = base_y + dly
+                pos_x = base_x + dlx
+
+                @pl.when((pos_y > -CHUNK_H) & (pos_y < rgh)
+                         & (pos_x > -CHUNK_W) & (pos_x < rgw))
+                def _():
+                    m = (dyn == dly) & (dxn == dlx) & ginb
+                    vals = jnp.where(m, kk, _BIG)
+
+                    def merge(ybase, xbase, oy, ox, block):
+                        blk = jnp.pad(block,
+                                      ((0, CHUNK_H), (0, CHUNK_W)),
+                                      constant_values=_BIG)
+                        blk = pltpu.roll(blk, oy, axis=0)
+                        blk = pltpu.roll(blk, ox, axis=1)
+                        cur = zee_buf[pl.ds(ybase, 2 * CHUNK_H),
+                                      pl.ds(xbase, 2 * CHUNK_W)]
+                        zee_buf[pl.ds(ybase, 2 * CHUNK_H),
+                                pl.ds(xbase, 2 * CHUNK_W)] = jnp.minimum(
+                                    cur, blk)
+
+                    place(vals, pos_y, pos_x, merge)
+
+            delta_loop(dyn, dxn, base_y, base_x, 0, body)
+
+        zee_buf[:, :] = jnp.zeros((bh, bw), jnp.float32)  # hole == spec 1e6
+        stream(zee_chunk)
+
+        # ---- degrid on the 2D region buffer ----
+        zee = zee_buf[:, :]
+        by_iota = lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        bx_iota = lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        gy_img = by_iota - pad_y + toy
+        gx_img = bx_iota - pad_x + tox
+        inimg = ((gy_img >= 0) & (gy_img < height) & (gx_img >= 0)
+                 & (gx_img < width))
+        zee = jnp.where(inimg, zee, _DISQ)
+
+        def shift2(a, dy_, dx_):
+            # out[y, x] = a[y + dy_, x + dx_], _DISQ fill (static shifts)
+            out = a
+            if dy_ > 0:
+                out = jnp.concatenate(
+                    [out[dy_:], jnp.full((dy_, bw), _DISQ, jnp.float32)], 0)
+            elif dy_ < 0:
+                out = jnp.concatenate(
+                    [jnp.full((-dy_, bw), _DISQ, jnp.float32), out[:dy_]],
+                    0)
+            if dx_ > 0:
+                out = jnp.concatenate(
+                    [out[:, dx_:], jnp.full((bh, dx_), _DISQ, jnp.float32)],
+                    1)
+            elif dx_ < 0:
+                out = jnp.concatenate(
+                    [jnp.full((bh, -dx_), _DISQ, jnp.float32),
+                     out[:, :dx_]], 1)
+            return out
+
+        total = jnp.zeros((bh, bw), jnp.float32)
+        count = jnp.zeros((bh, bw), jnp.float32)
+        for dx_, dy_ in ((1, 0), (0, 1), (1, 1), (1, -1)):
+            one = shift2(zee, dy_, dx_)
+            two = shift2(zee, -dy_, -dx_)
+            good = (zee >= one + 1.0) & (zee >= two + 1.0)
+            # accumulate re-offset at the spec's 1e6 magnitude so every
+            # intermediate f32 rounding matches (see splat_routed)
+            total = total + jnp.where(good, (one + _BIG) + (two + _BIG),
+                                      0.0)
+            count = count + jnp.where(good, 2.0, 0.0)
+        avg = total / jnp.maximum(count, 1.0) - _BIG
+        zee_d = jnp.where(count > 0.0, jnp.minimum(zee, avg), zee)
+        zee_d = jnp.where(inimg, zee_d, 0.0)
+        zee_buf[:, :] = zee_d
+
+        # ---- pass B: accumulate via per-delta weighted block adds ----
+        acc_buf[:, :] = jnp.zeros((d * bh, bw), jnp.float32)
+
+        def acc_chunk(slot, j):
+            dyi, dxi, fx, fy, kk = chunk_fields(slot)
+            cy0 = cy_ref[start + j]
+            cx0 = cx_ref[start + j]
+            base_y = cy0 - toy
+            base_x = cx0 - tox
+
+            def body(dly, dlx):
+                pos_y = base_y + dly
+                pos_x = base_x + dlx
+
+                @pl.when((pos_y > -CHUNK_H) & (pos_y < rgh)
+                         & (pos_x > -CHUNK_W) & (pos_x < rgw))
+                def _():
+                    my = ((dyi == dly).astype(jnp.float32) * (1.0 - fy)
+                          + (dyi == dly - 1).astype(jnp.float32) * fy)
+                    mx = ((dxi == dlx).astype(jnp.float32) * (1.0 - fx)
+                          + (dxi == dlx - 1).astype(jnp.float32) * fx)
+                    w = my * mx
+                    # target cell (same for every contributing corner)
+                    gy = cy0 + row8 + dly
+                    gx = cx0 + lane128 + dlx
+                    tinb = ((gy >= 0) & (gy < height) & (gx >= 0)
+                            & (gx < width))
+
+                    by = pos_y + pad_y
+                    bx = pos_x + pad_x
+                    ybase = (by // CHUNK_H) * CHUNK_H
+                    xbase = (bx // CHUNK_W) * CHUNK_W
+                    oy = by - ybase
+                    ox = bx - xbase
+                    # z-test: read the target cells back into source layout
+                    zwin = zee_buf[pl.ds(ybase, 2 * CHUNK_H),
+                                   pl.ds(xbase, 2 * CHUNK_W)]
+                    zwin = pltpu.roll(zwin, -oy, axis=0)
+                    zblk = pltpu.roll(zwin, -ox,
+                                      axis=1)[:CHUNK_H, :CHUNK_W]
+                    vis = kk <= zblk + 1.0
+                    w = jnp.where(vis & tinb, w, 0.0)
+
+                    for ch in range(d):
+                        pay = rec_vmem[slot,
+                                       (5 + ch) * CHUNK_H:(6 + ch)
+                                       * CHUNK_H, :]
+                        blk = jnp.pad(w * pay,
+                                      ((0, CHUNK_H), (0, CHUNK_W)))
+                        blk = pltpu.roll(blk, oy, axis=0)
+                        blk = pltpu.roll(blk, ox, axis=1)
+                        row0 = ch * bh + ybase
+                        cur = acc_buf[pl.ds(row0, 2 * CHUNK_H),
+                                      pl.ds(xbase, 2 * CHUNK_W)]
+                        acc_buf[pl.ds(row0, 2 * CHUNK_H),
+                                pl.ds(xbase, 2 * CHUNK_W)] = cur + blk
+
+            delta_loop(dyi, dxi, base_y, base_x, 1, body)
+
+        stream(acc_chunk)
+
+        cp = pltpu.make_async_copy(acc_buf, out_ref.at[t], out_sem)
+        cp.start()
+        cp.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "capacity_factor",
+                              "interpret"))
+def render_grids_delta(
+    xyz: jax.Array,
+    data: jax.Array,
+    height: int,
+    width: int,
+    focal,
+    baseline,
+    valid: jax.Array | None = None,
+    capacity_factor: int = 6,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Render grid-structured clouds by displacement-decomposed splatting.
+
+    Same surface as splat_routed.render_grids_routed. Payload C <= 8.
+    Returns (rendered (1, H, W, C), existing (1, H, W, 1), overflow).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    g, h, w = xyz.shape[0], xyz.shape[1], xyz.shape[2]
+    c = data.shape[-1]
+    if c > 8:
+        raise ValueError("delta renderer supports payloads up to 8 "
+                         "channels; use the routed path for wide payloads")
+    if valid is None:
+        valid = jnp.ones((g, h, w), xyz.dtype)
+
+    u, v, ok = project_points(xyz, height, width, focal)
+    ok = ok & (valid > 0.0)
+    key = lax.optimization_barrier(
+        splat_error(xyz[..., 2], focal, baseline)) - _BIG
+
+    hp = _ceil_to(h, CHUNK_H)
+    wp = _ceil_to(w, CHUNK_W)
+    padding = ((0, 0), (0, hp - h), (0, wp - w))
+
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    dyf = jnp.where(ok, y0 - yy, float(_DSENT))
+    dxf = jnp.where(ok, x0 - xx, float(_DSENT))
+    fx = jnp.where(ok, u - x0, 0.0)
+    fy = jnp.where(ok, v - y0, 0.0)
+    keyp = jnp.where(ok, key, _BIG)
+
+    pad_dy = jnp.pad(dyf.astype(jnp.float32), padding,
+                     constant_values=float(_DSENT))
+    pad_dx = jnp.pad(dxf.astype(jnp.float32), padding,
+                     constant_values=float(_DSENT))
+    pad_fx = jnp.pad(fx.astype(jnp.float32), padding)
+    pad_fy = jnp.pad(fy.astype(jnp.float32), padding)
+    pad_k = jnp.pad(keyp.astype(jnp.float32), padding,
+                    constant_values=_BIG)
+    ones = ok.astype(jnp.float32)[..., None]
+    pay = jnp.concatenate([data.astype(jnp.float32) * ones, ones], axis=-1)
+    pad_p = jnp.pad(pay, padding + ((0, 0),))
+    ok_p = jnp.pad(ok, padding)
+
+    d = c + 1
+    records = _pack_records_delta(pad_dy, pad_dx, pad_fx, pad_fy, pad_k,
+                                  pad_p)
+    nc = records.shape[0]
+    rec_rows = records.shape[1]
+
+    n_ty = -(-height // TILE_H)
+    n_tx = -(-width // TILE_W)
+    t = n_ty * n_tx
+    capacity = int(capacity_factor) * nc
+
+    pad_u = jnp.pad(jnp.where(ok, u, -1e9).astype(jnp.float32), padding,
+                    constant_values=-1e9)
+    pad_v = jnp.pad(jnp.where(ok, v, -1e9).astype(jnp.float32), padding,
+                    constant_values=-1e9)
+    minu, maxu, minv, maxv = _chunk_boxes(pad_u, pad_v, ok_p)
+    chunk_ids, offsets, overflow = _build_csr(minu, maxu, minv, maxv, n_ty,
+                                              n_tx, capacity, TILE_H,
+                                              TILE_W)
+    rec_csr = jnp.take(records, chunk_ids, axis=0)
+
+    # per-slot chunk origins (global source grid coords)
+    hc = hp // CHUNK_H
+    wc = wp // CHUNK_W
+    per_grid = hc * wc
+    cy0 = ((chunk_ids % per_grid) // wc * CHUNK_H).astype(jnp.int32)
+    cx0 = ((chunk_ids % wc) * CHUNK_W).astype(jnp.int32)
+
+    rgh = TILE_H + _HALO_LO + _HALO_HI
+    rgw = TILE_W + _HALO_LO + _HALO_HI
+    bh = _ceil_to(rgh + 2 * CHUNK_H + CHUNK_H, CHUNK_H)   # 48 for TILE_H 16
+    bw = _ceil_to(rgw + 2 * CHUNK_W + CHUNK_W, CHUNK_W)   # 512
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_ty, n_tx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, rec_rows, CHUNK_W), jnp.float32),
+            pltpu.VMEM((bh, bw), jnp.float32),
+            pltpu.VMEM((d * bh, bw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    acc_flat = pl.pallas_call(
+        _build_delta_kernel(d, bh, bw, rgh, rgw, height, width),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, d * bh, bw), jnp.float32),
+        interpret=interpret,
+    )(offsets, cy0, cx0, rec_csr)
+
+    # ---- epilogue: crop each tile's region core, normalize ----
+    acc = acc_flat.reshape(n_ty, n_tx, d, bh, bw)
+    y0c = CHUNK_H + _HALO_LO        # buffer row of tile pixel (0, 0)
+    x0c = CHUNK_W + _HALO_LO
+    core = acc[:, :, :, y0c:y0c + TILE_H, x0c:x0c + TILE_W]
+    img = jnp.transpose(core, (0, 3, 1, 4, 2)).reshape(
+        n_ty * TILE_H, n_tx * TILE_W, d)[:height, :width]
+
+    rendered = img[..., :c] / (img[..., c:] + 1e-7)
+    existing = img[..., c]
+    return rendered[None], existing[None, ..., None], overflow
+
+
+def render_grids_fast_delta(xyz, data, height, width, focal, baseline,
+                            valid=None, capacity_factor: int = 6,
+                            interpret=None, fallback: str = "clip"):
+    """Delta renderer with the same overflow-fallback surface as
+    splat_routed.render_grids_fast."""
+    from kbe_tpu.ops.splat import render_pointcloud
+
+    g = xyz.shape[0]
+    if valid is None:
+        valid = jnp.ones(xyz.shape[:3], xyz.dtype)
+    rendered, existing, overflow = render_grids_delta(
+        xyz, data, height, width, focal, baseline, valid,
+        capacity_factor=capacity_factor, interpret=interpret)
+    if fallback == "clip":
+        return rendered, existing
+
+    def do_fallback(_):
+        return render_pointcloud(
+            xyz.reshape(1, -1, 3),
+            data.reshape(1, g * xyz.shape[1] * xyz.shape[2], -1),
+            height, width, focal, baseline, valid=valid.reshape(1, -1),
+            method="scatter")
+
+    return lax.cond(overflow, do_fallback,
+                    lambda _: (rendered, existing), operand=None)

@@ -249,7 +249,13 @@ def build_effect_fn(
             xyz = apply_shift(cloud_xyz, shift)
             data = jnp.concatenate(
                 [cloud_data[..., 0:3], cloud_data[..., 4:5]], axis=-1)
-            if splat == "routed":
+            if splat == "delta":
+                from kbe_tpu.ops.splat_delta import render_grids_fast_delta
+
+                render, weight = render_grids_fast_delta(
+                    xyz, data, height, width, focal, camera.baseline,
+                    valid=cloud_valid, fallback=effect.splat_fallback)
+            elif splat == "routed":
                 from kbe_tpu.ops.splat_routed import render_grids_fast
 
                 render, weight = render_grids_fast(
@@ -280,7 +286,8 @@ def build_effect_fn(
         xs = (jnp.asarray(steps, jnp.float32), jnp.asarray(focals))
         # The Pallas renderers cannot run under vmap (ANY-space refs), so
         # frames go sequentially there; the scatter path batches chunks.
-        chunk = None if splat in ("pallas", "routed") else frame_chunk
+        chunk = (None if splat in ("pallas", "routed", "delta")
+                 else frame_chunk)
         frames = jax.lax.map(render_frame, xs, batch_size=chunk)
         return frames
 

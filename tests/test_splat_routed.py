@@ -108,3 +108,20 @@ def test_routed_wide_payload_matches_scatter():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
                                atol=2e-4)
+
+
+def test_delta_matches_scatter():
+    from kbe_tpu.ops.splat_delta import render_grids_delta
+
+    for (h, w, shift, seed) in ((48, 256, (3.7, -2.2, 12.0), 0),
+                                (64, 64, (-2.5, 2.7, -28.0), 3)):
+        focal, baseline = (100.0, 40.0) if h == 48 else (512.0, 120.0)
+        xyz, data, valid = _scene(h, w, focal, seed=seed, shift=shift)
+        want_r, want_e = _scatter(xyz, data, valid, h, w, focal, baseline)
+        got_r, got_e, ovf = render_grids_delta(xyz, data, h, w, focal,
+                                               baseline, valid=valid)
+        assert not bool(ovf)
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                                   atol=2e-4)
