@@ -1,16 +1,19 @@
 """Benchmark: full 3D Ken Burns effect throughput on one chip.
 
-Default size 512; the routed CSR renderer (ops/splat_routed.py) is the
-frame renderer at every size.
-
 Headline metric (BASELINE.md): KBE frames/sec/chip at 1024^2 — the
 reference's fixed effect is 75 frames per video and the north-star target
 is 75 x 1024^2 frames end-to-end (depth -> refine -> inpaint-extend ->
 render+fill all 75 poses) in < 1 s on one chip, i.e. baseline 75 frames/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Environment knobs: KBE_BENCH_SIZE (default 1024), KBE_BENCH_STEPS (75),
-KBE_BENCH_REPEATS (3).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+1024^2 headline, with extra keys: per-size frames/s ("fps_512",
+"fps_1024"), end-to-end latency seconds, and the measurement size actually
+used ("size" — 1024 unless that size failed to run, in which case
+"fallback" records the error class and the headline value is 0.0 rather
+than silently reporting a smaller size).
+
+Environment knobs: KBE_BENCH_SIZE (default 1024; "both" also measures
+512), KBE_BENCH_STEPS (75), KBE_BENCH_REPEATS (3).
 """
 
 import json
@@ -58,25 +61,36 @@ def run_bench(size: int, steps: int, repeats: int):
 
 
 def main():
-    size = int(os.environ.get("KBE_BENCH_SIZE", "512"))
+    size_env = os.environ.get("KBE_BENCH_SIZE", "1024")
     steps = int(os.environ.get("KBE_BENCH_STEPS", "75"))
     repeats = int(os.environ.get("KBE_BENCH_REPEATS", "3"))
 
-    try:
-        fps, latency = run_bench(size, steps, repeats)
-    except Exception:
-        # HBM or compile pressure: fall back to 512 so the round still
-        # reports a number.
-        size = 512
-        fps, latency = run_bench(size, steps, repeats)
+    sizes = [512, 1024] if size_env == "both" else [int(size_env)]
+    headline_size = sizes[-1]
 
     baseline_fps = 75.0  # north star: 75 frames < 1 s on one chip
-    print(json.dumps({
-        "metric": f"kbe_frames_per_sec_{size}",
+    out = {}
+    fps = 0.0
+    for size in sizes:
+        try:
+            f, latency = run_bench(size, steps, repeats)
+            out[f"fps_{size}"] = round(f, 3)
+            out[f"latency_s_{size}"] = round(latency, 4)
+            if size == headline_size:
+                fps = f
+        except Exception as e:  # report, never silently shrink the size
+            out[f"fallback_{size}"] = type(e).__name__
+            if size == headline_size:
+                fps = 0.0
+
+    out.update({
+        "metric": f"kbe_frames_per_sec_{headline_size}",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline_fps, 4),
-    }))
+        "size": headline_size,
+    })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

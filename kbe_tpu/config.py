@@ -107,11 +107,17 @@ class EffectConfig:
     validity_threshold: float = 0.03
     depth_range_margin: int = 128
     fill_march_steps: int = 128
-    # Frame-loop splat renderer: 'auto' == 'routed', the CSR chunk-routed
-    # Pallas kernel (ops/splat_routed.py) — works for every trajectory and
-    # falls back to the exact scatter path per frame on capacity overflow.
-    # 'routed' | 'pallas' (legacy window kernel) | 'scatter' | 'sorted'
-    # force an implementation.
+    # Phase-1 march bound of the two-phase disocclusion fill: the fused
+    # Pallas kernel marches this far and proves per-pixel stability; only
+    # frames with provably-unresolved pixels (holes wider than ~this many
+    # pixels) re-run the exact fill_march_steps march under a lax.cond.
+    fill_march_phase1: int = 16
+    # Frame-loop splat renderer: 'auto' == 'banded', the banded
+    # static-residual Pallas kernel (ops/splat_banded.py) — works for
+    # every trajectory and (with splat_fallback='scatter') falls back to
+    # the exact scatter path per frame on capacity overflow. 'banded' |
+    # 'routed' (CSR one-hot kernel) | 'delta' | 'pallas' (legacy window
+    # kernel) | 'scatter' | 'sorted' force an implementation.
     splat_method: str = "auto"
     # CSR-overflow behavior of the routed renderer: 'clip' (graceful
     # degradation, fast compile) or 'scatter' (exact in-graph fallback,

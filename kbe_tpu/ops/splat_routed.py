@@ -103,7 +103,7 @@ def _chunk_boxes(u, v, ok):
 
 def _build_csr(minu, maxu, minv, maxv, n_ty, n_tx, capacity, th, tw):
     """Tile-major CSR of candidate chunks. Returns (chunk_ids (K,),
-    offsets (T+1,) i32 clipped to K, overflow bool)."""
+    offsets (T+1,) i32 clipped to K, overflow bool, dropped slot count)."""
     nc = minu.shape[0]
     t = n_ty * n_tx
     ty = jnp.arange(n_ty, dtype=jnp.float32) * th
@@ -118,6 +118,7 @@ def _build_csr(minu, maxu, minv, maxv, n_ty, n_tx, capacity, th, tw):
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)])
     overflow = offsets[-1] > capacity
+    dropped = jnp.maximum(offsets[-1] - capacity, 0)
     offsets = jnp.minimum(offsets, capacity)
 
     sentinel = jnp.int32(2147483647)
@@ -125,7 +126,7 @@ def _build_csr(minu, maxu, minv, maxv, n_ty, n_tx, capacity, th, tw):
                      lax.broadcasted_iota(jnp.int32, (t * nc,), 0), sentinel)
     skeys = lax.sort(keys)[:capacity]
     chunk_ids = jnp.where(skeys == sentinel, 0, skeys % nc)
-    return chunk_ids, offsets, overflow
+    return chunk_ids, offsets, overflow, dropped
 
 
 def _build_kernel(rgh, rgw, ppad, d, rows_out, height, width, th, tw):
@@ -397,7 +398,7 @@ def render_grids_routed(
     capacity = int(capacity_factor) * nc
 
     minu, maxu, minv, maxv = _chunk_boxes(pad_u, pad_v, ok_p)
-    chunk_ids, offsets, overflow = _build_csr(minu, maxu, minv, maxv, n_ty,
+    chunk_ids, offsets, overflow, _dropped = _build_csr(minu, maxu, minv, maxv, n_ty,
                                               n_tx, capacity, th, tw)
     rec_csr = jnp.take(records, chunk_ids, axis=0)
 

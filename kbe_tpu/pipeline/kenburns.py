@@ -42,7 +42,8 @@ from kbe_tpu.ops.geometry import (
     interpolate_window,
     solve_shift,
 )
-from kbe_tpu.ops.resize import crop_rect_subpix, resize_bilinear, resize_to_max
+from kbe_tpu.ops.resize import (crop_rect_subpix_mm, resize_bilinear,
+                                resize_to_max)
 from kbe_tpu.ops.splat import render_pointcloud
 from kbe_tpu.pipeline.inpaint_flow import InpaintModels, \
     pointcloud_inpainting
@@ -134,12 +135,17 @@ def build_effect_fn(
     partial_inpainting: bool = False,
     dtype: Any = jnp.float32,
     frame_chunk: int = 5,
+    with_stats: bool = False,
 ) -> Callable:
     """Build the jittable ``effect(params, image) -> frames`` function.
 
     ``image``: (1, H, W, 3) in [0, 1] (BGR by cv2 convention unless the
     caller feeds RGB, mirroring kbe.py:96-103). Returns (num_steps, H, W, 3)
-    float frames quantized to the uint8 grid in [0, 255].
+    float frames quantized to the uint8 grid in [0, 255]. With
+    ``with_stats=True`` returns ``(frames, stats)`` where stats carries
+    ``splat_overflow_frames`` — the number of frames whose CSR routing
+    overflowed capacity (with splat_fallback='clip' those frames silently
+    lost splats; with 'scatter' they were re-rendered exactly).
     """
     if height % 4 or width % 4:
         raise ValueError("image dims must be multiples of 4 (kbe.py:108-114)")
@@ -159,14 +165,14 @@ def build_effect_fn(
     max_cw = max(zoom.src.crop_width, zoom.dst.crop_width)
     max_ch = max(zoom.src.crop_height, zoom.dst.crop_height)
 
-    # frame-loop renderer selection (static). "routed" (the default) has no
-    # displacement bound: per-frame CSR routing adapts to the actual point
-    # distribution and falls back to the exact scatter path on capacity
-    # overflow, so it covers every trajectory including dolly.
+    # frame-loop renderer selection (static). "banded" (the default) has
+    # no displacement bound: per-frame CSR routing adapts to the actual
+    # point distribution and falls back to the exact scatter path on
+    # capacity overflow, so it covers every trajectory including dolly.
     margin = displacement_margin(zoom, camera, effect, width, height)
     splat = effect.splat_method
     if splat == "auto":
-        splat = "routed"
+        splat = "banded"
     if splat == "pallas" and margin > effect.max_pallas_margin:
         raise ValueError(
             f"trajectory displacement bound {margin}px exceeds "
@@ -249,15 +255,40 @@ def build_effect_fn(
             xyz = apply_shift(cloud_xyz, shift)
             data = jnp.concatenate(
                 [cloud_data[..., 0:3], cloud_data[..., 4:5]], axis=-1)
-            if splat == "delta":
-                from kbe_tpu.ops.splat_delta import render_grids_fast_delta
+            overflow = jnp.bool_(False)
+            if splat == "banded":
+                from kbe_tpu.ops.splat_banded import render_grids_banded
+                from kbe_tpu.ops.splat import render_pointcloud as rp
 
+                render, weight, overflow = render_grids_banded(
+                    xyz, data, height, width, focal, camera.baseline,
+                    valid=cloud_valid)
+                if effect.splat_fallback == "scatter":
+                    render, weight = jax.lax.cond(
+                        overflow,
+                        lambda _: rp(xyz.reshape(1, -1, 3),
+                                     data.reshape(1, -1, 4), height, width,
+                                     focal, camera.baseline,
+                                     valid=cloud_valid.reshape(1, -1),
+                                     method="scatter"),
+                        lambda _: (render, weight), operand=None)
+            elif splat == "delta":
+                from kbe_tpu.ops.splat_delta import render_grids_delta, \
+                    render_grids_fast_delta
+
+                _, _, overflow = render_grids_delta(
+                    xyz, data, height, width, focal, camera.baseline,
+                    valid=cloud_valid)
                 render, weight = render_grids_fast_delta(
                     xyz, data, height, width, focal, camera.baseline,
                     valid=cloud_valid, fallback=effect.splat_fallback)
             elif splat == "routed":
-                from kbe_tpu.ops.splat_routed import render_grids_fast
+                from kbe_tpu.ops.splat_routed import render_grids_fast, \
+                    render_grids_routed
 
+                _, _, overflow = render_grids_routed(
+                    xyz, data, height, width, focal, camera.baseline,
+                    valid=cloud_valid)
                 render, weight = render_grids_fast(
                     xyz, data, height, width, focal, camera.baseline,
                     valid=cloud_valid, fallback=effect.splat_fallback)
@@ -273,22 +304,27 @@ def build_effect_fn(
                     width, focal, camera.baseline,
                     valid=cloud_valid.reshape(1, -1), method=splat)
             render_depth = render[..., 3:4] * (weight > 0.0)
-            filled = fill_disocclusion_pallas(render, render_depth,
-                                              effect.fill_march_steps)
+            filled = fill_disocclusion_pallas(
+                render, render_depth, effect.fill_march_steps,
+                phase1_steps=effect.fill_march_phase1)
             # uint8 quantization happens before crop in the reference
             # (utils/common.py:255): clip + truncate.
             rgb = jnp.floor(jnp.clip(filled[..., 0:3] * 255.0, 0.0, 255.0))
-            patch = crop_rect_subpix(rgb[0], max_cw, max_ch, width / 2.0,
-                                     height / 2.0)
+            patch = crop_rect_subpix_mm(rgb[0], max_cw, max_ch, width / 2.0,
+                                        height / 2.0)
             out = resize_bilinear(patch[None], height, width)[0]
-            return out
+            return out, overflow
 
         xs = (jnp.asarray(steps, jnp.float32), jnp.asarray(focals))
-        # The Pallas renderers cannot run under vmap (ANY-space refs), so
-        # frames go sequentially there; the scatter path batches chunks.
-        chunk = (None if splat in ("pallas", "routed", "delta")
-                 else frame_chunk)
-        frames = jax.lax.map(render_frame, xs, batch_size=chunk)
+        # The Pallas kernels (renderers AND the disocclusion fill) cannot
+        # run under vmap (ANY-space refs / scalar prefetch), and the fill
+        # is in the frame body on every path — so frames always go
+        # sequentially. frame_chunk is kept in the signature for
+        # compatibility but no longer batches.
+        frames, overflows = jax.lax.map(render_frame, xs, batch_size=None)
+        if with_stats:
+            return frames, {"splat_overflow_frames":
+                            jnp.sum(overflows.astype(jnp.int32))}
         return frames
 
     return effect_fn

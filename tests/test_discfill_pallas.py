@@ -39,3 +39,45 @@ def test_fill_pallas_no_holes_noop():
     depth = jnp.abs(depth) + 1.0
     got = fill_disocclusion_pallas(img, depth, 16)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(img))
+
+
+def test_fill_two_phase_small_holes_resolve_in_phase1():
+    # scattered small holes: phase 1 (8 steps) settles everything and must
+    # be bit-identical to the one-phase 32-step march
+    img, depth = _scene(48, 256, seed=3, hole_frac=0.05)
+    want = fill_disocclusion(img, depth, 32)
+    got = fill_disocclusion_pallas(img, depth, 32, phase1_steps=8)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_fill_two_phase_wide_hole_falls_back():
+    # a hole wider than phase 1's reach: the lax.cond fallback must fire
+    # and reproduce the exact full-march result
+    img, depth = _scene(48, 256, seed=4, hole_frac=0.0)
+    depth_np = np.asarray(depth).copy()
+    depth_np[0, 10:38, 40:150] = 0.0  # 28 x 110 hole >> 8-step reach
+    depth = jnp.asarray(depth_np)
+    want = fill_disocclusion(img, depth, 64)
+    got = fill_disocclusion_pallas(img, depth, 64, phase1_steps=8)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_fill_fused_phase1_unresolved_flag():
+    from kbe_tpu.ops.discfill_pallas import _fill_single_fused
+
+    # small interior holes: every hole pixel finds a winner pair within
+    # the provable phase-1 bound -> no fallback
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (48, 256, 4)).astype(np.float32))
+    depth_np = np.full((48, 256, 1), 5.0, np.float32)
+    depth_np[10:13, 30:33] = 0.0
+    depth_np[30:32, 180:184] = 0.0
+    _, unresolved = _fill_single_fused(img, jnp.asarray(depth_np), 8, True)
+    assert not bool(unresolved)
+
+    # a hole wider than the phase-1 reach in every direction -> fallback
+    depth_np2 = depth_np.copy()
+    depth_np2[10:38, 40:150] = 0.0
+    _, unresolved = _fill_single_fused(img, jnp.asarray(depth_np2), 8,
+                                       True)
+    assert bool(unresolved)

@@ -260,6 +260,20 @@ def test_crop_rect_subpix_matches_cv2():
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+def test_crop_rect_subpix_mm_matches_gather():
+    from kbe_tpu.ops.resize import crop_rect_subpix_mm
+
+    img = rng(14).uniform(0, 255, (33, 41, 3)).astype(np.float32)
+    # interior patch, border-replicating patch, and integer-centered patch
+    for (pw, ph, cu, cv) in [(10, 8, 12.3, 9.7), (30, 28, 2.1, 31.9),
+                             (16, 12, 20.0, 16.0)]:
+        want = np.asarray(crop_rect_subpix(jnp.asarray(img), pw, ph, cu,
+                                           cv))
+        got = np.asarray(crop_rect_subpix_mm(jnp.asarray(img), pw, ph, cu,
+                                             cv))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_sorted_renderer_matches_scatter():
     from kbe_tpu.ops.splat import render_pointcloud
 

@@ -1,0 +1,82 @@
+"""Golden tests: banded static-residual Pallas renderer vs the scatter
+spec (interpret mode, CPU backend)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from kbe_tpu.ops.geometry import depth_to_points
+from kbe_tpu.ops.splat import render_pointcloud
+from kbe_tpu.ops.splat_banded import (render_grids_banded,
+                                      render_grids_fast_banded)
+from tests.test_splat_routed import _scatter, _scene
+
+
+def test_banded_matches_scatter():
+    h, w, focal, baseline = 48, 256, 100.0, 40.0
+    xyz, data, valid = _scene(h, w, focal)
+    want_r, want_e = _scatter(xyz, data, valid, h, w, focal, baseline)
+    got_r, got_e, ovf = render_grids_banded(xyz, data, h, w, focal,
+                                            baseline, valid=valid)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=2e-5)
+
+
+def test_banded_small_image_and_z_shift():
+    # width < TILE_W exercises padding; a negative z shift exercises the
+    # degrid-average rounding (z-test ties at the +1.0 boundary)
+    h, w, focal, baseline = 64, 64, 512.0, 120.0
+    xyz, data, valid = _scene(h, w, focal, seed=3,
+                              shift=(-2.5, 2.7, -28.0))
+    want_r, want_e = _scatter(xyz, data, valid, h, w, focal, baseline)
+    got_r, got_e, ovf = render_grids_banded(xyz, data, h, w, focal,
+                                            baseline, valid=valid)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=2e-4)
+
+
+def test_banded_wide_spread_chunks():
+    # strong depth discontinuities inside chunks: x-spread far beyond one
+    # 16-lane window forces multi-window iteration
+    h, w, focal, baseline = 48, 256, 100.0, 40.0
+    rng = np.random.default_rng(7)
+    depth = np.where(rng.uniform(size=(h, w)) > 0.5, 60.0, 400.0)
+    depth[20:28, 60:200] = 30.0
+
+    xyz = np.asarray(depth_to_points(jnp.asarray(depth)[None], focal)[0])
+    xyz = (xyz + np.asarray((9.0, -4.0, 5.0)))[None]
+    data = rng.uniform(0, 1, (1, h, w, 4)).astype(np.float32)
+    valid = np.ones((1, h, w), np.float32)
+    xyz, data, valid = (jnp.asarray(xyz, jnp.float32), jnp.asarray(data),
+                        jnp.asarray(valid))
+
+    want_r, want_e = _scatter(xyz, data, valid, h, w, focal, baseline)
+    got_r, got_e, ovf = render_grids_banded(xyz, data, h, w, focal,
+                                            baseline, valid=valid)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=2e-4)
+
+
+def test_banded_overflow_falls_back_to_scatter():
+    h, w, focal, baseline = 48, 256, 100.0, 40.0
+    xyz, data, valid = _scene(h, w, focal, seed=1)
+    _, _, ovf = render_grids_banded(xyz, data, h, w, focal, baseline,
+                                    valid=valid, capacity_factor=1)
+    assert bool(ovf)
+    want_r, want_e = _scatter(xyz, data, valid, h, w, focal, baseline)
+    got_r, got_e = render_grids_fast_banded(xyz, data, h, w, focal,
+                                            baseline, valid=valid,
+                                            capacity_factor=1,
+                                            fallback="scatter")
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=2e-5)
