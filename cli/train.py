@@ -32,13 +32,35 @@ def build_parser():
     p.add_argument("--mask-loss", default="none",
                    choices=["none", "same", "other"])
     p.add_argument("--mask-loss-dataset", default=None)
+    p.add_argument("--mask-source", default="depth",
+                   choices=["depth", "image"],
+                   help="instance-mask source for the mask loss: segment "
+                        "the GT disparity ('depth') or the image colors "
+                        "('image'). Replaces the reference's in-loop "
+                        "Mask-RCNN (training/train_depth.py:55,151-163), "
+                        "which needs torchvision weights unavailable "
+                        "offline.")
     p.add_argument("--n-epochs", type=int, default=50)
     p.add_argument("--lr-estimation", type=float, default=1e-4)
     p.add_argument("--lr-refinement", type=float, default=1e-5)
     p.add_argument("--lr-inpaint", type=float, default=1e-4)
     p.add_argument("--lr-discriminator", type=float, default=5e-5)
     p.add_argument("--save-name", default="3dkbe")
-    p.add_argument("--model-path", default=None)
+    p.add_argument("--model-path", default=None,
+                   help="pretrained weights to warm-start from: a "
+                        "reference torch .tar or one of our orbax "
+                        "checkpoint dirs. Used by refinement (estimation "
+                        "net), inpainting_ref (inpainting net), and as "
+                        "initial weights for estimation/inpainting.")
+    p.add_argument("--continue-training", action="store_true",
+                   help="resume the latest checkpoint under "
+                        "--checkpoint-dir/--save-name, restoring "
+                        "optimizer/scheduler state and step count")
+    p.add_argument("--init", default="xavier",
+                   choices=["xavier", "normal", "orthogonal", "he",
+                            "none"],
+                   help="conv weight init for from-scratch nets "
+                        "(reference weights_init, utils/utils.py:101-114)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--gamma-lr", type=float, default=0.99999)
     p.add_argument("--partial-conv", action="store_true")
@@ -58,6 +80,7 @@ def build_parser():
 def make_data(args, mode: str, camera):
     from kbe_tpu.train.data import KBEDataset, Prefetcher, synthetic_batches
 
+    with_masks = args.mask_loss != "none" and mode == "disparity"
     if args.synthetic or not args.dataset:
         if not args.synthetic:
             print("No --dataset given; falling back to --synthetic data.")
@@ -68,7 +91,8 @@ def make_data(args, mode: str, camera):
                                              if mode == "inpainting"
                                              else "disparity"),
                                        camera=camera,
-                                       steps=args.max_steps)
+                                       steps=args.max_steps,
+                                       with_instance_masks=with_masks)
         val_factory = lambda: synthetic_batches(
             args.batch_size, *size,
             mode=("inpainting" if mode == "inpainting" else "disparity"),
@@ -79,7 +103,9 @@ def make_data(args, mode: str, camera):
                "inpainting": "inpainting"}[mode]
     dataset = KBEDataset([parse_dataset(d) for d in args.dataset],
                          mode=ds_mode,
-                         imagenet_path=args.mask_loss_dataset)
+                         imagenet_path=args.mask_loss_dataset,
+                         mask_source=(args.mask_source if with_masks
+                                      else None))
     train_idx, val_idx = dataset.split()
     train_iter = Prefetcher(dataset.batches(train_idx, args.batch_size,
                                             epochs=args.n_epochs))
@@ -92,12 +118,14 @@ def make_data(args, mode: str, camera):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.mask_loss == "other" and args.mask_loss_dataset is None:
-        print("--mask-loss other requires --mask-loss-dataset",
+    if args.mask_loss == "other" and args.mask_loss_dataset is None \
+            and args.dataset and not args.synthetic:
+        print("--mask-loss other requires --mask-loss-dataset "
+              "(the synthetic generator supplies its own aux batch)",
               file=sys.stderr)
         return 1
     if args.training_mode in ("refinement", "inpainting_ref") \
-            and args.model_path is None:
+            and args.model_path is None and not args.continue_training:
         print(f"NOTE: --model-path not given for {args.training_mode}; "
               "starting from random init (the reference requires a "
               "pretrained estimation net here).")
@@ -106,7 +134,10 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from kbe_tpu.config import CameraConfig
-    from kbe_tpu.train.checkpoint import save_checkpoint
+    from kbe_tpu.train.checkpoint import (latest_checkpoint,
+                                          load_checkpoint,
+                                          load_pretrained_params,
+                                          save_checkpoint)
 
     mesh = None
     if args.data_parallel:
@@ -135,17 +166,46 @@ def main(argv=None) -> int:
              "gamma_lr": args.gamma_lr,
              "n_epochs": args.n_epochs,
              "mask_loss": args.mask_loss,
+             "init": args.init,
              "save_name": args.save_name},
             semantics_params=sem_params, logs_path=args.logs_path,
             mesh=mesh)
+        pretrained = {}
+        if args.model_path:
+            # refinement mode warm-starts the (frozen) estimation net
+            # from --model-path (reference train.py:110-135)
+            pretrained["disparity"] = load_pretrained_params(
+                args.model_path, "disparity")
+        resume_state, resume_step = None, 0
+        if args.continue_training:
+            ck = latest_checkpoint(args.checkpoint_dir, args.save_name)
+            if ck is None:
+                print("--continue-training: no checkpoint found under "
+                      f"{args.checkpoint_dir}/{args.save_name}-*",
+                      file=sys.stderr)
+                return 1
+            if mode == "disparity":
+                tmpl = trainer.init_state(size)
+                resume_state, resume_step = load_checkpoint(ck, tmpl)
+            else:
+                d_t, r_t = trainer.init_state(
+                    size, mode,
+                    disparity_params=pretrained.get("disparity"))
+                r_res, resume_step = load_checkpoint(ck, r_t)
+                resume_state = (d_t, r_res)
+            resume_step = int(resume_step) + 1
+            print(f"resuming from {ck} at iteration {resume_step}")
         trainer.train(train_iter, val_factory, size,
-                      max_steps=args.max_steps, checkpoint_cb=ckpt_cb)
+                      max_steps=args.max_steps, checkpoint_cb=ckpt_cb,
+                      pretrained=pretrained, resume_state=resume_state,
+                      resume_step=resume_step)
         return 0
 
     from kbe_tpu.train.trainer_inpaint import TRAIN_CAMERA, TrainerInpaint
 
     train_iter, val_factory, size = make_data(args, "inpainting",
                                               TRAIN_CAMERA)
+    adversarial = args.training_mode == "inpainting_ref"
     trainer = TrainerInpaint(
         {"model_to_train": ("partial inpainting" if args.partial_conv
                             else "inpainting"),
@@ -153,11 +213,33 @@ def main(argv=None) -> int:
          "lr_D": args.lr_discriminator,
          "gamma_lr": args.gamma_lr,
          "n_epochs": args.n_epochs,
-         "adversarial": args.training_mode == "inpainting_ref",
+         "adversarial": adversarial,
+         "init": args.init,
          "save_name": args.save_name},
         logs_path=args.logs_path, mesh=mesh)
+    pretrained_params = None
+    if args.model_path:
+        # inpainting_ref warm-starts from a trained inpainting net
+        # (reference train.py:146-176)
+        pretrained_params = load_pretrained_params(args.model_path,
+                                                   "inpaint")
+    resume_state, resume_step = None, 0
+    if args.continue_training:
+        ck = latest_checkpoint(args.checkpoint_dir, args.save_name)
+        if ck is None:
+            print("--continue-training: no checkpoint found under "
+                  f"{args.checkpoint_dir}/{args.save_name}-*",
+                  file=sys.stderr)
+            return 1
+        tmpl = trainer.init_state(size, pretrained_params)
+        if adversarial:
+            tmpl = (tmpl, trainer.init_disc_state(size))
+        resume_state, resume_step = load_checkpoint(ck, tmpl)
+        resume_step = int(resume_step) + 1
+        print(f"resuming from {ck} at iteration {resume_step}")
     trainer.train(train_iter, val_factory, size, max_steps=args.max_steps,
-                  checkpoint_cb=ckpt_cb)
+                  checkpoint_cb=ckpt_cb, pretrained_params=pretrained_params,
+                  resume_state=resume_state, resume_step=resume_step)
     return 0
 
 

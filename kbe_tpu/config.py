@@ -112,6 +112,10 @@ class EffectConfig:
     # frames with provably-unresolved pixels (holes wider than ~this many
     # pixels) re-run the exact fill_march_steps march under a lax.cond.
     fill_march_phase1: int = 16
+    # 'pallas' (two-phase fused kernel, the default) or 'xla' (pure-XLA
+    # march — slower on TPU but compiles fast and runs on any backend;
+    # used by CPU-oracle tests).
+    fill_impl: str = "pallas"
     # Frame-loop splat renderer: 'auto' == 'banded', the banded
     # static-residual Pallas kernel (ops/splat_banded.py) — works for
     # every trajectory and (with splat_fallback='scatter') falls back to

@@ -171,8 +171,8 @@ def _fill_single_pallas(image, depth, steps, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_ty, n_tx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((wh, ww), jnp.int32),
             pltpu.VMEM((5 * TILE_H, TILE_W), jnp.int32),
@@ -389,9 +389,9 @@ def _fill_single_fused(image, depth, steps, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_ty, n_tx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2 + c, wh, ww), jnp.float32),
             pltpu.VMEM((2 * (1 + c) * TILE_H, TILE_W), jnp.float32),

@@ -289,7 +289,7 @@ def render_grids_pallas(
     pdat = jnp.pad(jnp.transpose(data, (3, 0, 1, 2)).astype(jnp.float32),
                    ((0, 0),) + padding)
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     zee_flat = pl.pallas_call(
         _build_zee(g, th, tw, wh, ww, height, width),
         grid=(n_ty, n_tx),

@@ -418,9 +418,9 @@ def render_grids_routed(
         grid=(n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, rec_rows, CHUNK_W), jnp.float32),
             pltpu.VMEM((rows_out, ppad), jnp.float32),

@@ -10,6 +10,9 @@ gradient all-reduces.
 from kbe_tpu.parallel.mesh import (
     batch_sharding,
     data_mesh,
+    host_local_batch_to_global,
+    initialize_multihost,
+    process_shard_indices,
     replicate,
     replicated_sharding,
     shard_batch,
@@ -19,6 +22,9 @@ from kbe_tpu.parallel.dp import data_parallel_step, batch_parallel_effect
 __all__ = [
     "batch_sharding",
     "data_mesh",
+    "host_local_batch_to_global",
+    "initialize_multihost",
+    "process_shard_indices",
     "replicate",
     "replicated_sharding",
     "shard_batch",

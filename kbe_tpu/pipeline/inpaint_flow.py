@@ -55,6 +55,7 @@ def pointcloud_inpainting(
     camera: CameraConfig,
     focal,
     validity_threshold: float = 0.03,
+    splat_method: str = "routed",
 ):
     """Inpaint the disocclusions revealed by ``shift``.
 
@@ -84,9 +85,17 @@ def pointcloud_inpainting(
         # the full 68-channel payload in one pass (overflow is out of
         # reach for a one-grid bootstrap shift; 'clip' keeps the scatter
         # graph out of the compiled program)
-        render, weight = render_grids_fast(
-            (points + shift).reshape(1, h, w, 3),
-            payload.reshape(1, h, w, -1), h, w, focal, camera.baseline)
+        if splat_method in ("scatter", "sorted"):
+            from kbe_tpu.ops.splat import render_pointcloud
+
+            render, weight = render_pointcloud(
+                (points + shift).reshape(1, -1, 3),
+                payload.reshape(1, h * w, -1), h, w, focal,
+                camera.baseline, method=splat_method)
+        else:
+            render, weight = render_grids_fast(
+                (points + shift).reshape(1, h, w, 3),
+                payload.reshape(1, h, w, -1), h, w, focal, camera.baseline)
         existing = (weight > 0.0).astype(jnp.float32)
         existing = existing * median_filter(existing, 5)
         return render * jax.lax.stop_gradient(existing), existing

@@ -234,7 +234,10 @@ def build_effect_fn(
                 inp = pointcloud_inpainting(
                     models, image, disparity, effect.inpaint_overshoot
                     * shift, camera, camera.focal,
-                    effect.validity_threshold)
+                    effect.validity_threshold,
+                    splat_method=("scatter" if splat in ("scatter",
+                                                         "sorted")
+                                  else "routed"))
                 grids_xyz.append(inp["points"].reshape(height, width, 3))
                 grids_data.append(jnp.concatenate(
                     [inp["image"][0], inp["disparity"][0], inp["depth"][0]],
@@ -304,15 +307,27 @@ def build_effect_fn(
                     width, focal, camera.baseline,
                     valid=cloud_valid.reshape(1, -1), method=splat)
             render_depth = render[..., 3:4] * (weight > 0.0)
-            filled = fill_disocclusion_pallas(
-                render, render_depth, effect.fill_march_steps,
-                phase1_steps=effect.fill_march_phase1)
+            if effect.fill_impl == "xla":
+                from kbe_tpu.ops.discfill import fill_disocclusion
+
+                filled = fill_disocclusion(render, render_depth,
+                                           effect.fill_march_steps)
+            else:
+                filled = fill_disocclusion_pallas(
+                    render, render_depth, effect.fill_march_steps,
+                    phase1_steps=effect.fill_march_phase1)
             # uint8 quantization happens before crop in the reference
             # (utils/common.py:255): clip + truncate.
+            # uint8 quantization happens BEFORE crop in the reference
+            # (utils/common.py:255 astype truncates), and the uint8 cv2
+            # crop + resize each round-to-nearest (:256-257) — reproduce
+            # both roundings so the final astype(uint8) is exact.
             rgb = jnp.floor(jnp.clip(filled[..., 0:3] * 255.0, 0.0, 255.0))
             patch = crop_rect_subpix_mm(rgb[0], max_cw, max_ch, width / 2.0,
                                         height / 2.0)
+            patch = jnp.clip(jnp.round(patch), 0.0, 255.0)
             out = resize_bilinear(patch[None], height, width)[0]
+            out = jnp.clip(jnp.round(out), 0.0, 255.0)
             return out, overflow
 
         xs = (jnp.asarray(steps, jnp.float32), jnp.asarray(focals))

@@ -19,7 +19,10 @@ import jax
 def _checkpointer():
     import orbax.checkpoint as ocp
 
-    return ocp.PyTreeCheckpointer()
+    # synchronous Checkpointer wrapping the modern StandardCheckpointHandler
+    # (StandardCheckpointer is async; its metadata futures outlive short
+    # CLI processes and crash at interpreter shutdown)
+    return ocp.Checkpointer(ocp.StandardCheckpointHandler())
 
 
 def save_checkpoint(directory: str, name: str, state: Any,
@@ -56,7 +59,56 @@ def load_checkpoint(path: str, template: Any = None):
     ckptr = _checkpointer()
     if template is not None:
         restored = ckptr.restore(
-            path, item={"state": jax.device_get(template), "step": 0})
+            path, {"state": jax.device_get(template), "step": 0})
     else:
         restored = ckptr.restore(path)
     return restored["state"], restored["step"]
+
+
+def _state_params(state_like):
+    """Extract model params from a restored train state, tolerating the
+    namedtuple (in-process), dict (orbax restore without template), and
+    sequence encodings."""
+    if hasattr(state_like, "context") and hasattr(state_like, "net"):
+        return {"context": state_like.context, "net": state_like.net}
+    if hasattr(state_like, "params"):
+        return state_like.params
+    if isinstance(state_like, dict):
+        if "context" in state_like and "net" in state_like:
+            return {"context": state_like["context"],
+                    "net": state_like["net"]}
+        if "params" in state_like:
+            return state_like["params"]
+        if "0" in state_like:  # positional namedtuple encoding
+            return state_like["0"]
+    if isinstance(state_like, (list, tuple)):
+        return state_like[0]
+    raise ValueError("unrecognized checkpoint state structure")
+
+
+def load_pretrained_params(path: str, kind: str):
+    """Load model params for warm-starting a trainer (the reference's
+    load_models path, utils/utils.py:202-217, reached from train.py
+    --model-path at train.py:110-176).
+
+    ``path``: either a reference torch ``.tar`` (converted via
+    utils/torch_convert.py) or one of our orbax checkpoints (a directory
+    saved by ``save_checkpoint``). ``kind``: 'disparity' | 'refine' |
+    'inpaint'. For 'inpaint' returns {'context': ..., 'net': ...}.
+    """
+    if path.endswith(".tar"):
+        from kbe_tpu.utils import torch_convert as tc
+
+        if kind == "disparity":
+            return tc.convert_disparity(path)
+        if kind == "refine":
+            return tc.convert_refine(path)
+        if kind == "inpaint":
+            ctx, net = tc.convert_inpaint(path)
+            return {"context": ctx, "net": net}
+        raise ValueError(f"unknown kind {kind!r}")
+    state, _ = load_checkpoint(path)
+    if isinstance(state, (list, tuple)) and kind == "disparity" \
+            and len(state) == 2:
+        state = state[0]  # (dstate, rstate) refine-mode checkpoint
+    return _state_params(state)

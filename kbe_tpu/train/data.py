@@ -103,10 +103,18 @@ class KBEDataset:
 
     def __init__(self, datasets: Sequence[Dict], max_dim: int = 1024,
                  mode: str = "disparity", seed: int = 42,
-                 imagenet_path: Optional[str] = None):
+                 imagenet_path: Optional[str] = None,
+                 mask_source=None, max_instances: int = 8):
+        """``mask_source`` feeds the depth mask loss ('same'/'other'
+        modes): 'depth' (segment GT disparity, instance_masks_from_depth),
+        'image' (color segmentation, instance_masks_from_image), a
+        callable ``(image01, disparity|None) -> (M, h, w, 1)``, or None
+        (no instance masks — the mask loss is off)."""
         self.datasets = list(datasets)
         self.max_dim = max_dim
         self.mode = mode
+        self.mask_source = mask_source
+        self.max_instances = max_instances
         self.rng = np.random.default_rng(seed)
         self.items: List[Tuple[str, str, int]] = []
         for ds_id, ds in enumerate(self.datasets):
@@ -186,7 +194,46 @@ class KBEDataset:
         if self.mode in ("inpainting", "inpaint-eval"):
             dh, dw = disparity.shape[:2]
             item["zoom"] = get_random_zoom(self.rng, dh, dw)
+        if self.mask_source is not None and self.mode == "disparity":
+            dsp = item["disparity"][..., 0]
+            dh2, dw2 = dsp.shape
+            img01 = _resize_area((image + 1.0) / 2.0, dw2, dh2)
+            item["instance_masks"] = self._masks_for(img01, dsp)
         return item
+
+    def _masks_for(self, image01, disparity):
+        if callable(self.mask_source):
+            return self.mask_source(image01, disparity)
+        if self.mask_source == "depth" and disparity is not None:
+            return instance_masks_from_depth(
+                disparity, max_instances=self.max_instances)
+        return instance_masks_from_image(
+            image01, max_instances=self.max_instances)
+
+    def load_imagenet_batch(self, batch_size: int,
+                            size: Tuple[int, int]) -> Optional[Dict]:
+        """Auxiliary natural-image batch for the 'other' mask-loss mode:
+        the reference bundles a random ImageNet image per item and runs
+        Mask-RCNN on it (utils/data_loader.py:162-173,
+        training/train_depth.py:261-288); here the masks come from
+        ``mask_source`` ('image' or a callable)."""
+        import cv2
+
+        if not self.imagenet_paths or self.mask_source is None:
+            return None
+        h, w = size
+        imgs, masks = [], []
+        for _ in range(batch_size):
+            path = self.imagenet_paths[
+                int(self.rng.integers(len(self.imagenet_paths)))]
+            im = cv2.imread(path, cv2.IMREAD_COLOR)
+            im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+            im = cv2.resize(im, (w, h), interpolation=cv2.INTER_AREA)
+            im01 = im.astype(np.float32) / 255.0
+            imgs.append(im01 * 2.0 - 1.0)
+            masks.append(self._masks_for(im01, None))
+        return {"image": np.stack(imgs),
+                "instance_masks": np.stack(masks)}
 
     def batches(self, indices, batch_size: int, shuffle: bool = True,
                 epochs: Optional[int] = None,
@@ -197,7 +244,13 @@ class KBEDataset:
             order = (self.rng.permutation(indices) if shuffle else indices)
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 items = [self.load_item(j) for j in order[i:i + batch_size]]
-                yield _collate(items, self.mode)
+                batch = _collate(items, self.mode)
+                if (self.imagenet_paths and self.mask_source is not None
+                        and self.mode == "disparity"):
+                    h, w = batch["disparity"].shape[1:3]
+                    batch["imagenet"] = self.load_imagenet_batch(
+                        batch_size, (h, w))
+                yield batch
             epoch += 1
 
 
@@ -205,6 +258,9 @@ def _collate(items: List[Dict], mode: str) -> Dict:
     out: Dict[str, Any] = {}
     for key in ("image", "disparity", "depth", "mask"):
         out[key] = np.stack([it[key] for it in items])
+    if "instance_masks" in items[0]:
+        out["instance_masks"] = np.stack(
+            [it["instance_masks"] for it in items])
     if mode in ("inpainting", "inpaint-eval"):
         zoom_keys = items[0]["zoom"].keys()
         out["zoom"] = {k: np.asarray([it["zoom"][k] for it in items],
@@ -212,22 +268,112 @@ def _collate(items: List[Dict], mode: str) -> Dict:
     return out
 
 
+def instance_masks_from_depth(disparity: np.ndarray,
+                              max_instances: int = 8,
+                              rel_grad_threshold: float = 0.04,
+                              min_area_frac: float = 0.004) -> np.ndarray:
+    """Host-side instance-mask source for the depth "mask loss".
+
+    The reference obtains object masks from a Mask-RCNN run inside the
+    training loop (training/train_depth.py:55,151-163); torchvision (and
+    its pretrained weights) is unavailable offline, so the default
+    TPU-native source segments the GT disparity itself: threshold the
+    gradient magnitude and take connected components — regions bounded by
+    depth discontinuities, which is exactly the "disparity is flat inside
+    an object" prior the loss encodes (utils/losses.py:56-68).
+
+    ``disparity``: (h, w). Returns (max_instances, h, w, 1) zero-padded
+    float32 masks, largest regions first (the full-frame background
+    region is skipped).
+    """
+    import cv2
+
+    d = disparity.astype(np.float32)
+    scale = max(float(np.ptp(d)), 1e-6)
+    gy, gx = np.gradient(d / scale)
+    flat = (np.hypot(gy, gx) < rel_grad_threshold).astype(np.uint8)
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(flat, 8)
+    h, w = d.shape
+    areas = [(stats[i, cv2.CC_STAT_AREA], i) for i in range(1, n)]
+    areas.sort(reverse=True)
+    masks = np.zeros((max_instances, h, w, 1), np.float32)
+    out = 0
+    for area, i in areas:
+        if out >= max_instances or area < min_area_frac * h * w:
+            break
+        if area > 0.8 * h * w:  # background plane, not an object
+            continue
+        masks[out, ..., 0] = labels == i
+        out += 1
+    return masks
+
+
+def instance_masks_from_image(image01: np.ndarray,
+                              max_instances: int = 8,
+                              k: int = 6,
+                              min_area_frac: float = 0.01) -> np.ndarray:
+    """Unsupervised segmenter for the 'other'-mode auxiliary natural
+    images (no depth available): k-means color clustering + connected
+    components. Substitutes the reference's Mask-RCNN on the ImageNet
+    batch (training/train_depth.py:261-288); any better segmenter can be
+    plugged through KBEDataset(mask_source=callable).
+
+    ``image01``: (h, w, 3) float [0, 1]. Returns
+    (max_instances, h, w, 1) float32 masks.
+    """
+    import cv2
+
+    h, w = image01.shape[:2]
+    small = cv2.resize(image01, (min(w, 256), min(h, 192)),
+                       interpolation=cv2.INTER_AREA)
+    data = small.reshape(-1, 3).astype(np.float32)
+    _, labels, _ = cv2.kmeans(
+        data, k, None,
+        (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 10, 1.0), 2,
+        cv2.KMEANS_PP_CENTERS)
+    lab = labels.reshape(small.shape[:2]).astype(np.uint8)
+    masks = np.zeros((max_instances, h, w, 1), np.float32)
+    regions = []
+    for c in range(k):
+        n, comp, stats, _ = cv2.connectedComponentsWithStats(
+            (lab == c).astype(np.uint8), 8)
+        for i in range(1, n):
+            regions.append((stats[i, cv2.CC_STAT_AREA], c, i, comp))
+    regions.sort(key=lambda r: -r[0])
+    out = 0
+    sh, sw = lab.shape
+    for area, _, i, comp in regions:
+        if out >= max_instances or area < min_area_frac * sh * sw:
+            break
+        m = (comp == i).astype(np.float32)
+        masks[out, ..., 0] = cv2.resize(m, (w, h),
+                                        interpolation=cv2.INTER_NEAREST)
+        out += 1
+    return masks
+
+
 def synthetic_batches(batch_size: int, height: int, width: int,
                       mode: str = "disparity",
                       camera: CameraConfig = CameraConfig(512.0, 74.0),
                       seed: int = 0,
-                      steps: Optional[int] = None) -> Iterator[Dict]:
+                      steps: Optional[int] = None,
+                      with_instance_masks: bool = False,
+                      max_instances: int = 4) -> Iterator[Dict]:
     """Procedural RGBD batches (planes + boxes) for tests, demos and
-    benchmarks — the environment ships no DIML/GTA/MegaDepth data."""
+    benchmarks — the environment ships no DIML/GTA/MegaDepth data.
+    ``with_instance_masks`` adds the generator's true per-box masks
+    (the mask-loss source the reference gets from Mask-RCNN)."""
     rng = np.random.default_rng(seed)
     n = 0
     while steps is None or n < steps:
-        imgs, disps = [], []
+        imgs, disps, inst = [], [], []
         for _ in range(batch_size):
             depth = np.full((height, width), rng.uniform(30, 90), np.float32)
             img = rng.uniform(0, 1, 3).astype(np.float32) * np.ones(
                 (height, width, 3), np.float32)
-            for _ in range(rng.integers(1, 4)):
+            item_masks = np.zeros((max_instances, height, width, 1),
+                                  np.float32)
+            for b in range(rng.integers(1, 4)):
                 bh = rng.integers(height // 6, height // 2)
                 bw = rng.integers(width // 6, width // 2)
                 y = rng.integers(0, height - bh)
@@ -235,16 +381,34 @@ def synthetic_batches(batch_size: int, height: int, width: int,
                 d = rng.uniform(10, 40)
                 depth[y:y + bh, x:x + bw] = d
                 img[y:y + bh, x:x + bw] = rng.uniform(0, 1, 3)
+                if b < max_instances:
+                    item_masks[b, y:y + bh, x:x + bw, 0] = 1.0
             disp = camera.focal * camera.baseline / (depth + 1e-4)
             imgs.append(img * 2.0 - 1.0)
             disps.append(disp)
+            inst.append(item_masks)
         disparity = np.stack(disps)[..., None]
+        inst_np = np.stack(inst)
+        if mode == "disparity":
+            # the estimation net outputs at 1/2 input resolution; real
+            # datasets load disparity at half the image size
+            # (MODE_RATIOS / utils/data_loader.py:138-143)
+            disparity = disparity[:, ::2, ::2]
+            inst_np = inst_np[:, :, ::2, ::2]
         batch = {
             "image": np.stack(imgs),
             "disparity": disparity,
             "depth": camera.focal * camera.baseline / (disparity + 1e-7),
-            "mask": np.ones((batch_size, height, width, 1), np.float32),
+            "mask": np.ones_like(disparity),
         }
+        if with_instance_masks:
+            batch["instance_masks"] = inst_np
+            # the 'other'-mode auxiliary batch reuses the same procedural
+            # images (stand-in for the reference's ImageNet images)
+            batch["imagenet"] = {
+                "image": batch["image"].copy(),
+                "instance_masks": inst_np,
+            }
         if mode == "inpainting":
             zs = [get_random_zoom(rng, height, width)
                   for _ in range(batch_size)]

@@ -104,11 +104,19 @@ class TrainerDepth:
 
     # ------------------------------------------------------------ states
 
-    def init_state(self, image_shape, mode: Optional[str] = None):
+    def init_state(self, image_shape, mode: Optional[str] = None,
+                   disparity_params: Any = None, refine_params: Any = None):
         """Create TrainState(s). ``image_shape``: (H, W) of training images
         (disparity mode trains at half dataset res, data_loader.py:138-139).
+        ``disparity_params``/``refine_params`` warm-start from pretrained
+        weights (the reference's --model-path, train.py:110-176); freshly
+        initialized nets get the reference's conv init selector applied
+        (hparams['init'], default xavier gain 1.4, utils/utils.py:101-114).
         """
+        from kbe_tpu.models.init import apply_weights_init
+
         mode = mode or self.mode
+        init_type = self.hparams.get("init", "xavier")
         h, w = image_shape
         img = jnp.zeros((1, h, w, 3))
         # semantics output size: ceil-mode halving at each of 4 pools
@@ -116,14 +124,20 @@ class TrainerDepth:
         for _ in range(4):
             sh, sw = (sh + 1) // 2, (sw + 1) // 2
         sem = jnp.zeros((1, sh, sw, 512))
-        k1, k2 = jax.random.split(self.rng)
-        dparams = self.disparity.init(k1, img, sem)
+        k1, k2, k3, k4 = jax.random.split(self.rng, 4)
+        dparams = disparity_params
+        if dparams is None:
+            dparams = apply_weights_init(self.disparity.init(k1, img, sem),
+                                         k3, init_type)
         dstate = TrainState(dparams, self.tx_disparity.init(dparams),
                             jnp.zeros((), jnp.int32))
         if mode == "disparity":
             return dstate
         disp = jnp.zeros((1, (h // 2 + 1) // 2, (w // 2 + 1) // 2, 1))
-        rparams = self.refine.init(k2, img, disp)
+        rparams = refine_params
+        if rparams is None:
+            rparams = apply_weights_init(self.refine.init(k2, img, disp),
+                                         k4, init_type)
         rstate = TrainState(rparams, self.tx_refine.init(rparams),
                             jnp.zeros((), jnp.int32))
         return dstate, rstate
@@ -257,12 +271,26 @@ class TrainerDepth:
 
     def train(self, train_iter: Iterable, val_iter_factory: Callable,
               image_shape, max_steps: Optional[int] = None,
-              checkpoint_cb: Optional[Callable] = None):
+              checkpoint_cb: Optional[Callable] = None,
+              pretrained: Optional[Dict[str, Any]] = None,
+              resume_state: Any = None, resume_step: int = 0):
         """Run the training loop. ``train_iter`` yields dict batches of
         numpy arrays; ``val_iter_factory()`` returns a fresh validation
-        iterator."""
+        iterator.
+
+        ``pretrained``: optional {'disparity': params, 'refine': params}
+        warm start (reference --model-path). ``resume_state``/
+        ``resume_step``: continue-training from a full checkpointed
+        TrainState (optimizer + scheduler step included — reference
+        load_models(continue_training=True), utils/utils.py:202-217).
+        """
+        pretrained = pretrained or {}
+        self.iter_nb = resume_step
         if self.mode == "disparity":
-            state = self.init_state(image_shape)
+            state = resume_state if resume_state is not None else \
+                self.init_state(
+                    image_shape,
+                    disparity_params=pretrained.get("disparity"))
             step_fn = self._get_jitted("disp", self.disparity_train_step)
             other_fn = self._get_jitted("imagenet", self.imagenet_mask_step)
             for batch in train_iter:
@@ -286,7 +314,13 @@ class TrainerDepth:
             self.validation(state, val_iter_factory())
             return state
 
-        dstate, rstate = self.init_state(image_shape, self.mode)
+        if resume_state is not None:
+            dstate, rstate = resume_state
+        else:
+            dstate, rstate = self.init_state(
+                image_shape, self.mode,
+                disparity_params=pretrained.get("disparity"),
+                refine_params=pretrained.get("refine"))
         # NOTE: dstate must be an argument, not a closure — closed-over
         # device arrays are baked into the XLA program as constants.
         step_fn = self._get_jitted("refine", self.refine_train_step)

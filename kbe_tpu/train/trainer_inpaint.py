@@ -106,13 +106,29 @@ class TrainerInpaint:
 
     # ------------------------------------------------------------ states
 
-    def init_state(self, image_shape) -> InpaintState:
+    def init_state(self, image_shape,
+                   pretrained_params: Any = None) -> InpaintState:
+        """``pretrained_params``: optional {'context', 'net'} warm start
+        (reference --model-path into inpainting_ref, train.py:146-176).
+        Fresh nets get the reference conv init selector (hparams['init'],
+        default xavier gain 1.4, utils/utils.py:101-114)."""
+        from kbe_tpu.models.init import apply_weights_init
+
         h, w = image_shape
-        k1, k2 = jax.random.split(self.rng)
-        ctx = self.context_def.init(k1, jnp.zeros((1, h, w, 3)),
-                                    jnp.zeros((1, h, w, 1)))
-        net = self.net_def.init(k2, jnp.zeros((1, h, w, 68)),
-                                jnp.zeros((1, h, w, 1)))
+        if pretrained_params is not None:
+            ctx = pretrained_params["context"]
+            net = pretrained_params["net"]
+        else:
+            k1, k2, k3 = jax.random.split(self.rng, 3)
+            init_type = self.hparams.get("init", "xavier")
+            ctx = apply_weights_init(
+                self.context_def.init(k1, jnp.zeros((1, h, w, 3)),
+                                      jnp.zeros((1, h, w, 1))),
+                k3, init_type)
+            net = apply_weights_init(
+                self.net_def.init(k2, jnp.zeros((1, h, w, 68)),
+                                  jnp.zeros((1, h, w, 1))),
+                jax.random.fold_in(k3, 1), init_type)
         params = {"context": ctx, "net": net}
         return InpaintState(ctx, net, self.tx.init(params),
                             jnp.zeros((), jnp.int32))
@@ -314,8 +330,56 @@ class TrainerInpaint:
 
     def _jit(self, name, fn, **kw):
         if name not in self._jitted:
-            self._jitted[name] = jax.jit(fn, **kw)
+            if self.mesh is not None and name in ("sup", "adv"):
+                from kbe_tpu.parallel.mesh import batch_sharding, \
+                    replicated_sharding
+
+                rep = replicated_sharding(self.mesh)
+                bat = batch_sharding(self.mesh)
+                if name == "sup":
+                    self._jitted[name] = jax.jit(
+                        fn, in_shardings=(rep, bat),
+                        out_shardings=(rep, rep), **kw)
+                else:
+                    # (g_state, d_state, batch, static do_g): states
+                    # replicated, batch sharded -> XLA inserts the psum
+                    # gradient all-reduces for both G and D (the DP GAN
+                    # config of SURVEY §2.9)
+                    self._jitted[name] = jax.jit(
+                        fn, in_shardings=(rep, rep, bat),
+                        out_shardings=(rep, rep, rep), **kw)
+            else:
+                self._jitted[name] = jax.jit(fn, **kw)
         return self._jitted[name]
+
+    # -------------------------------------------------- FID validation
+
+    def validation_adv(self, state: InpaintState, val_iter) -> float:
+        """FID between adversarially-inpainted view-B images and the real
+        view-A images over the validation set, at the reference's
+        500-iteration cadence (training/train_inpaint.py:332-418)."""
+        import numpy as np
+
+        from kbe_tpu.train.fid import FID
+
+        if not hasattr(self, "_fid"):
+            self._fid = FID(params=self.hparams.get("inception_params"))
+        fwd = self._jit(
+            "advfwd",
+            lambda st, b: self._adv_forward(
+                {"context": st.context, "net": st.net}, b))
+        reals, fakes = [], []
+        for batch in val_iter:
+            out = fwd(state, _to_jnp(batch))
+            reals.append(np.asarray(out["image_a"], np.float32))
+            fakes.append(np.asarray(
+                jnp.clip(out["inpaint_img"], 0.0, 1.0), np.float32))
+        if not reals:
+            return float("nan")
+        score = self._fid.fid(np.concatenate(reals), np.concatenate(fakes))
+        self.writer.scalar("Validation inpaint/FID", float(score),
+                           self.iter_nb)
+        return float(score)
 
     def _want_g_update(self) -> bool:
         return ((self.iter_nb % self.stop_g) > self.pretrain_steps
@@ -323,17 +387,30 @@ class TrainerInpaint:
 
     def train(self, train_iter: Iterable, val_iter_factory: Callable,
               image_shape, max_steps: Optional[int] = None,
-              checkpoint_cb: Optional[Callable] = None):
-        state = self.init_state(image_shape)
+              checkpoint_cb: Optional[Callable] = None,
+              pretrained_params: Any = None, resume_state: Any = None,
+              resume_step: int = 0):
+        """``pretrained_params``: {'context','net'} warm start.
+        ``resume_state``/``resume_step``: continue-training from a full
+        checkpoint (InpaintState or (InpaintState, DiscState))."""
+        self.iter_nb = resume_step
         if self.hparams.get("adversarial"):
-            d_state = self.init_disc_state(image_shape)
+            if resume_state is not None:
+                state, d_state = resume_state
+            else:
+                state = self.init_state(image_shape, pretrained_params)
+                d_state = self.init_disc_state(image_shape)
             step = self._jit("adv", partial(self.adversarial_step),
                              static_argnums=(3,))
             for batch in train_iter:
                 if max_steps is not None and self.iter_nb >= max_steps:
                     break
-                if (self.iter_nb + 1) % 500 == 0 and checkpoint_cb:
-                    checkpoint_cb((state, d_state), self.iter_nb)
+                if (self.iter_nb + 1) % 500 == 0:
+                    if checkpoint_cb:
+                        checkpoint_cb((state, d_state), self.iter_nb)
+                    # FID validation at the reference cadence
+                    # (train_inpaint.py:332-418)
+                    self.validation_adv(state, val_iter_factory())
                 state, d_state, metrics = step(state, d_state,
                                                _to_jnp(batch),
                                                self._want_g_update())
@@ -343,6 +420,8 @@ class TrainerInpaint:
                 self.iter_nb += 1
             return state, d_state
 
+        state = resume_state if resume_state is not None else \
+            self.init_state(image_shape, pretrained_params)
         step = self._jit("sup", self.supervised_step)
         for batch in train_iter:
             if max_steps is not None and self.iter_nb >= max_steps:

@@ -231,3 +231,127 @@ def test_inpaint_adversarial_step():
     state, d_state, m2 = tr.adversarial_step(state, d_state, batch, True)
     assert np.isfinite(float(m2["total_g"]))
     assert np.isfinite(float(m2["loss_d"]))
+
+
+def test_weights_init_selector_stats():
+    from kbe_tpu.models.init import apply_weights_init
+
+    params = {"conv": {"kernel": jnp.zeros((3, 3, 64, 128)),
+                       "bias": jnp.ones((128,))},
+              "prelu": {"slope": jnp.full((64,), 0.25)}}
+    key = jax.random.PRNGKey(0)
+
+    fan_in, fan_out = 64 * 9, 128 * 9
+    out = apply_weights_init(params, key, "xavier", gain=1.4)
+    std = float(jnp.std(out["conv"]["kernel"]))
+    want = 1.4 * np.sqrt(2.0 / (fan_in + fan_out))
+    assert abs(std - want) / want < 0.05
+    # biases / PReLU untouched (reference touches only Conv weights)
+    assert float(jnp.sum(out["prelu"]["slope"])) == pytest.approx(16.0)
+    assert float(jnp.sum(out["conv"]["bias"])) == pytest.approx(128.0)
+
+    out = apply_weights_init(params, key, "he")
+    std = float(jnp.std(out["conv"]["kernel"]))
+    want = np.sqrt(2.0 / fan_in)
+    assert abs(std - want) / want < 0.05
+
+    out = apply_weights_init(params, key, "normal", gain=1.4)
+    assert abs(float(jnp.std(out["conv"]["kernel"])) - 1.4) / 1.4 < 0.05
+
+    out = apply_weights_init(params, key, "orthogonal", gain=2.0)
+    k = np.asarray(out["conv"]["kernel"], np.float64)
+    mat = k.transpose(3, 0, 1, 2).reshape(128, fan_in) / 2.0
+    np.testing.assert_allclose(mat @ mat.T, np.eye(128), atol=1e-4)
+
+    assert apply_weights_init(params, key, "none") is params
+
+
+def test_pretrained_warmstart_and_resume(tmp_path):
+    """VERDICT item 4: refine mode trains from a saved estimation
+    checkpoint, and a killed run resumes at its iteration count with
+    optimizer state intact."""
+    from kbe_tpu.train.checkpoint import (load_checkpoint,
+                                          load_pretrained_params,
+                                          save_checkpoint)
+
+    h, w = 64, 64
+    sem = Semantics()
+    sp = sem.init(jax.random.PRNGKey(1), jnp.zeros((1, h, w, 3)))
+    tr = TrainerDepth({"model_to_train": "disparity", "lr_estimation": 1e-4,
+                       "gamma_lr": 0.9999, "init": "none"},
+                      semantics_params=sp,
+                      logs_path=str(tmp_path / "logs"))
+    state = tr.init_state((h, w))
+    batch = jax.tree_util.tree_map(jnp.asarray, _depth_batch(1, h, w))
+    state, _ = jax.jit(tr.disparity_train_step)(state, batch)
+
+    path = save_checkpoint(str(tmp_path / "ck"), "est", state, 7)
+
+    # (a) warm start: the loaded params equal the trained estimation net
+    loaded = load_pretrained_params(path, "disparity")
+    tr2 = TrainerDepth({"model_to_train": "refine", "lr_refine": 1e-5,
+                        "gamma_lr": 0.9999, "estimation_size": 32,
+                        "init": "none"},
+                       semantics_params=sp,
+                       logs_path=str(tmp_path / "logs2"))
+    dstate, rstate = tr2.init_state((h, w), "refine",
+                                    disparity_params=loaded)
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), dstate.params,
+        state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) == 0.0
+    # and a refine step from the warm start runs
+    rbatch = {
+        "image": jnp.asarray(rng().uniform(-1, 1, (1, h, w, 3)).astype(
+            np.float32)),
+        "disparity": jnp.asarray(rng().uniform(1, 60, (1, h, w, 1)).astype(
+            np.float32)),
+        "mask": jnp.ones((1, h, w, 1)),
+    }
+    _, metrics = jax.jit(tr2.refine_train_step)(dstate, rstate, rbatch)
+    assert np.isfinite(float(metrics["total"]))
+
+    # (b) resume: full state (params + optimizer + step) round-trips
+    restored, step = load_checkpoint(path, state)
+    assert int(step) == 7
+    same = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a, jnp.float32)
+                                   - jnp.asarray(b, jnp.float32)).max()),
+        restored, state)
+    assert max(jax.tree_util.tree_leaves(same)) == 0.0
+    # the trainer picks up at the given iteration
+    out_state = tr.train(iter([]), lambda: iter([]), (h, w),
+                         resume_state=restored, resume_step=8)
+    assert tr.iter_nb == 8
+    assert int(out_state.step) == int(state.step)
+
+
+def test_mesh_adversarial_step_8dev():
+    """VERDICT item 5: a mesh-sharded GAN step over 8 virtual devices
+    (states replicated, batch sharded, psum grad all-reduces)."""
+    from kbe_tpu.parallel import data_mesh, replicate, shard_batch
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = data_mesh(8)
+    h = w = 288
+    tr = TrainerInpaint({"model_to_train": "inpainting",
+                         "adversarial": True, "lr_inpaint": 1e-4,
+                         "lr_D": 1e-4, "gamma_lr": 0.9999, "init": "none"},
+                        camera=CameraConfig(focal=144.0, baseline=60.0),
+                        logs_path="/tmp/kbe_runs/adv_mesh", mesh=mesh)
+    with mesh:
+        state = replicate(mesh, tr.init_state((h, w)))
+        d_state = replicate(mesh, tr.init_disc_state((h, w)))
+        r = rng()
+        disp = r.uniform(10, 60, (8, h, w, 1)).astype(np.float32)
+        batch = shard_batch(mesh, {
+            "image": r.uniform(-1, 1, (8, h, w, 3)).astype(np.float32),
+            "disparity": disp,
+            "depth": (144.0 * 60.0 / (disp + 1e-7)).astype(np.float32),
+            "zoom": _zoom_batch(8, h, w),
+        })
+        step = tr._jit("adv", tr.adversarial_step, static_argnums=(3,))
+        state, d_state, m = step(state, d_state, batch, True)
+        assert np.isfinite(float(m["loss_d"]))
+        assert np.isfinite(float(m["total_g"]))

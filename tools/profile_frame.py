@@ -171,8 +171,8 @@ def main():
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(n_ty, n_tx),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.VMEM((2, rec_rows, sr.CHUNK_W), jnp.float32),
                         pltpu.VMEM((rows_out, ppad), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
