@@ -78,6 +78,14 @@ def main():
             out[f"latency_s_{size}"] = round(latency, 4)
             if size == headline_size:
                 fps = f
+            if os.environ.get("KBE_BENCH_STAGES"):
+                # stage split: a 2-step run isolates the fixed front-end
+                # (CNNs + inpaint bootstrap) from the per-frame loop cost
+                _, lat2 = run_bench(size, 2, repeats)
+                per_frame = max(latency - lat2, 0.0) / max(steps - 2, 1)
+                out[f"frame_ms_{size}"] = round(per_frame * 1e3, 2)
+                out[f"frontend_ms_{size}"] = round(
+                    max(lat2 - 2 * per_frame, 0.0) * 1e3, 1)
         except Exception as e:  # report, never silently shrink the size
             out[f"fallback_{size}"] = type(e).__name__
             if size == headline_size:

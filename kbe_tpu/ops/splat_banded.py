@@ -60,7 +60,9 @@ TILE_H = 32
 TILE_W = 256
 _HALO_LO = 3
 _HALO_HI = 4
-BAND_W = 16            # static x-residual window width
+BAND_W = 8             # static x-residual window width: 8 halves the
+                       # per-iteration combo work vs 16; typical chunks
+                       # (x-spread <= 6) still need a single window
 PAD_Y = CHUNK_H        # buffer spill margins for dynamic placement
 PAD_X = 2 * CHUNK_W
 _RSENT = 20000         # invalid-point residual sentinel
@@ -303,12 +305,17 @@ def _build_banded_kernel(d, height, width, per_grid, wc):
                     zs = zband[:, s:s + CHUNK_W]
                     vis = kk <= zs + 1.0
                     w = jnp.where(vis, wy * wx, 0.0)
-                    for ch in range(d):
+                    for ch in range(d - 1):
                         pay = rec_vmem[slot,
                                        (5 + ch) * CHUNK_H:(6 + ch)
                                        * CHUNK_H, :]
                         bands[ch] = bands[ch] + shift_into_band(
                             w * pay, s, 0.0)
+                    # ones channel: invalid points already carry zero
+                    # weight (their sentinel residual fails the wy mask),
+                    # so the weight itself is the contribution
+                    bands[d - 1] = bands[d - 1] + shift_into_band(w, s,
+                                                                 0.0)
                 for ch in range(d):
                     place(acc_buf, ch * bh, by, bx, bands[ch],
                           lambda c, b: c + b, 0.0)
