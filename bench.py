@@ -24,6 +24,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache next to the repo.
+
+    The 1024^2 effect program (75-pose loop with Pallas kernels + the
+    inpaint bootstrap nets) takes minutes to compile cold; the cache makes
+    any repeat invocation — including a fresh process — start from the
+    compiled binary instead.
+    """
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax: flag names differ; cold compile still works
+
+
 def run_bench(size: int, steps: int, repeats: int):
     import jax
     import jax.numpy as jnp
@@ -61,6 +81,7 @@ def run_bench(size: int, steps: int, repeats: int):
 
 
 def main():
+    _enable_compile_cache()
     size_env = os.environ.get("KBE_BENCH_SIZE", "1024")
     steps = int(os.environ.get("KBE_BENCH_STEPS", "75"))
     repeats = int(os.environ.get("KBE_BENCH_REPEATS", "3"))
