@@ -51,8 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kbe_tpu.ops.geometry import project_points, splat_error
-from kbe_tpu.ops.splat_routed import _BIG, _DISQ, _build_csr, _ceil_to, \
-    _chunk_boxes
+from kbe_tpu.ops.splat_routed import _BIG, _DISQ, _INF, _build_csr, \
+    _ceil_to, _chunk_boxes
 
 CHUNK_H = 8
 CHUNK_W = 128
@@ -333,7 +333,7 @@ def _build_banded_kernel(d, height, width, per_grid, wc):
 
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "capacity_factor",
-                              "interpret"))
+                              "work_limit", "interpret"))
 def render_grids_banded(
     xyz: jax.Array,
     data: jax.Array,
@@ -343,12 +343,22 @@ def render_grids_banded(
     baseline,
     valid: jax.Array | None = None,
     capacity_factor: int = 4,
+    work_limit: int = 256,
     interpret: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Render grid-structured clouds by banded static-residual splatting.
 
     Same surface as splat_routed.render_grids_routed. Payload C <= 8.
     Returns (rendered (1, H, W, C), existing (1, H, W, 1), overflow).
+
+    ``work_limit`` bounds the in-kernel iteration count per chunk visit
+    (window-rows = y-values x x-windows). The kernel's cost scales with
+    each chunk's *actual displacement spread*, so a pathologically
+    incoherent cloud (e.g. depth from an untrained net) could otherwise
+    take minutes per frame and trip the TPU watchdog. Chunks whose spread
+    exceeds the limit are excluded from routing and raise the overflow
+    flag — exact results via fallback='scatter', bounded graceful
+    degradation (dropped splats become fill-able holes) with 'clip'.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -396,9 +406,16 @@ def render_grids_banded(
     spread_x = jnp.where(empty, -1.0, dx_hi - dx_lo).astype(jnp.int32)
     # dly values 0..spread_y+1 (floor + top corner); x windows cover
     # residuals 0..spread_x+1
-    y_cnt = jnp.clip(spread_y + 2, 0, 255)
-    xw_cnt = jnp.clip(jnp.where(empty, 0, (spread_x + 1) // BAND_W + 1),
-                      0, 255)
+    y_cnt_full = jnp.maximum(spread_y + 2, 0)
+    xw_cnt_full = jnp.where(empty, 0, (spread_x + 1) // BAND_W + 1)
+    # per-chunk work bound: window-rows the kernel would iterate. Chunks
+    # over the limit (or past the 8-bit meta packing) are excluded from
+    # routing below and flagged as overflow — this also turns what used
+    # to be a silent 255-clip truncation into a reported condition.
+    overwork = ((y_cnt_full * xw_cnt_full > work_limit)
+                | (y_cnt_full > 255) | (xw_cnt_full > 255))
+    y_cnt = jnp.clip(y_cnt_full, 0, 255)
+    xw_cnt = jnp.clip(xw_cnt_full, 0, 255)
     base_dy = jnp.clip(base_dy, -32767, 32767)
     base_dx = jnp.clip(base_dx, -32767, 32767)
     meta1 = (base_dy << 16) | (base_dx & 0xffff)
@@ -437,9 +454,12 @@ def render_grids_banded(
     pad_v = jnp.pad(jnp.where(ok, v, -1e9).astype(jnp.float32), padding,
                     constant_values=-1e9)
     minu, maxu, minv, maxv = _chunk_boxes(pad_u, pad_v, okp)
-    chunk_ids, offsets, overflow, _dropped = _build_csr(minu, maxu, minv, maxv, n_ty,
-                                              n_tx, capacity, TILE_H,
-                                              TILE_W)
+    # over-limit chunks hit no tile (empty bbox) — kernel never sees them
+    minu = jnp.where(overwork, _INF, minu)
+    maxu = jnp.where(overwork, -_INF, maxu)
+    chunk_ids, offsets, csr_overflow, _dropped = _build_csr(
+        minu, maxu, minv, maxv, n_ty, n_tx, capacity, TILE_H, TILE_W)
+    overflow = csr_overflow | jnp.any(overwork)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -477,6 +497,7 @@ def render_grids_banded(
 
 def render_grids_fast_banded(xyz, data, height, width, focal, baseline,
                              valid=None, capacity_factor: int = 4,
+                             work_limit: int = 256,
                              interpret=None, fallback: str = "clip"):
     """Banded renderer with the overflow-fallback surface of
     splat_routed.render_grids_fast."""
@@ -487,7 +508,8 @@ def render_grids_fast_banded(xyz, data, height, width, focal, baseline,
         valid = jnp.ones(xyz.shape[:3], xyz.dtype)
     rendered, existing, overflow = render_grids_banded(
         xyz, data, height, width, focal, baseline, valid,
-        capacity_factor=capacity_factor, interpret=interpret)
+        capacity_factor=capacity_factor, work_limit=work_limit,
+        interpret=interpret)
     if fallback == "clip":
         return rendered, existing
 

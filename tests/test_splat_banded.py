@@ -65,6 +65,45 @@ def test_banded_wide_spread_chunks():
                                atol=2e-4)
 
 
+def test_banded_work_limit_bounds_incoherent_chunks():
+    # a cloud whose depth is uncorrelated noise spreads each chunk's
+    # displacements over hundreds of pixels — the work bound must flag it
+    # (instead of iterating ~spread^2 window-rows per chunk in-kernel,
+    # which on real hardware can run for minutes and trip the TPU
+    # watchdog), and fallback='scatter' must still give exact results
+    h, w, focal, baseline = 48, 256, 100.0, 40.0
+    rng = np.random.default_rng(11)
+    depth = rng.uniform(20.0, 2000.0, (h, w)).astype(np.float32)
+    xyz = np.asarray(depth_to_points(jnp.asarray(depth)[None], focal)[0])
+    xyz = (xyz + np.asarray((30.0, -12.0, 9.0)))[None]
+    data = rng.uniform(0, 1, (1, h, w, 4)).astype(np.float32)
+    valid = np.ones((1, h, w), np.float32)
+    xyz, data, valid = (jnp.asarray(xyz, jnp.float32), jnp.asarray(data),
+                        jnp.asarray(valid))
+
+    _, _, ovf = render_grids_banded(xyz, data, h, w, focal, baseline,
+                                    valid=valid, work_limit=32)
+    assert bool(ovf)
+
+    want_r, want_e = _scatter(xyz, data, valid, h, w, focal, baseline)
+    got_r, got_e = render_grids_fast_banded(
+        xyz, data, h, w, focal, baseline, valid=valid, work_limit=32,
+        fallback="scatter")
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=2e-4)
+
+    # a generous limit must leave coherent scenes untouched (no flag)
+    sxyz, sdata, svalid = _scene(h, w, focal)
+    got_r2, got_e2, ovf2 = render_grids_banded(
+        sxyz, sdata, h, w, focal, baseline, valid=svalid, work_limit=256)
+    assert not bool(ovf2)
+    want_r2, want_e2 = _scatter(sxyz, sdata, svalid, h, w, focal, baseline)
+    np.testing.assert_allclose(np.asarray(got_r2), np.asarray(want_r2),
+                               atol=2e-5)
+
+
 def test_banded_overflow_falls_back_to_scatter():
     h, w, focal, baseline = 48, 256, 100.0, 40.0
     xyz, data, valid = _scene(h, w, focal, seed=1)

@@ -138,7 +138,7 @@ def main():
         n_ty, n_tx = -(-h // th), -(-w // tw)
         capacity = 6 * nc
         minu, maxu, minv, maxv = sr._chunk_boxes(pad_u, pad_v, ok_p)
-        chunk_ids, offsets, overflow = sr._build_csr(
+        chunk_ids, offsets, overflow, _dropped = sr._build_csr(
             minu, maxu, minv, maxv, n_ty, n_tx, capacity, th, tw)
         rec_csr = jnp.take(records, chunk_ids, axis=0)
         return rec_csr, offsets
