@@ -156,8 +156,8 @@ def _build_kernel(rgh, rgw, ppad, d, rows_out, height, width, th, tw):
                                                         ((), ())),
                                preferred_element_type=jnp.float32)
 
-    def kernel(off_ref, rowcol_ref, rec_hbm, out_ref, rec_vmem, out_scr,
-               copy_sem, out_sem):
+    def kernel(off_ref, ids_ref, rowcol_ref, rec_hbm, out_ref, rec_vmem,
+               out_scr, copy_sem, out_sem):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         t = ty * pl.num_programs(1) + tx
@@ -168,9 +168,14 @@ def _build_kernel(rgh, rgw, ppad, d, rows_out, height, width, th, tw):
 
         iota = lax.broadcasted_iota(jnp.int32, (1, ppad), 1)
 
+        # records are DMA'd straight from the original (NC, R, 128) array
+        # via the prefetched chunk-id list — materializing the CSR-ordered
+        # gather in HBM would cost capacity * record-size (~1.9 GB for the
+        # 68-channel inpainting bootstrap at 1024^2) per call
         def get_dma(slot, j):
             return pltpu.make_async_copy(
-                rec_hbm.at[start + j], rec_vmem.at[slot], copy_sem.at[slot])
+                rec_hbm.at[ids_ref[start + j]], rec_vmem.at[slot],
+                copy_sem.at[slot])
 
         def stream(body, init):
             """Double-buffered loop over this tile's chunks."""
@@ -400,7 +405,6 @@ def render_grids_routed(
     minu, maxu, minv, maxv = _chunk_boxes(pad_u, pad_v, ok_p)
     chunk_ids, offsets, overflow, _dropped = _build_csr(minu, maxu, minv, maxv, n_ty,
                                               n_tx, capacity, th, tw)
-    rec_csr = jnp.take(records, chunk_ids, axis=0)
 
     rgh = th + _HALO_LO + _HALO_HI
     rgw = tw + _HALO_LO + _HALO_HI
@@ -414,7 +418,7 @@ def render_grids_routed(
                          .repeat(4, axis=1).reshape(8, ppad))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -433,7 +437,7 @@ def render_grids_routed(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, rows_out, ppad), jnp.float32),
         interpret=interpret,
-    )(offsets, rowcol, rec_csr)
+    )(offsets, chunk_ids, rowcol, records)
 
     # ---- epilogue: corner shift-add over the region grid ----
     acc = acc_flat[:, :4 * d, :pp].reshape(n_ty, n_tx, 4, d, rgh, rgw)
