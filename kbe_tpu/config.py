@@ -116,6 +116,12 @@ class EffectConfig:
     # march — slower on TPU but compiles fast and runs on any backend;
     # used by CPU-oracle tests).
     fill_impl: str = "pallas"
+    # Restrict the fill to the centered crop window the frames actually
+    # sample (+2px bilinear margin). Final frames are bit-identical: the
+    # crop discards everything outside, and in-ROI fill results are
+    # unchanged because march sources (the validity/depth maps) are not
+    # masked — only which pixels get *written*.
+    fill_roi: bool = True
     # Frame-loop splat renderer: 'auto' == 'banded', the banded
     # static-residual Pallas kernel (ops/splat_banded.py) — works for
     # every trajectory and (with splat_fallback='scatter') falls back to

@@ -4,9 +4,9 @@ Same semantics as ops/discfill.py (the executable spec of the reference's
 ``kernel_discfill_updateOutput``, utils/common.py:833-937), reformulated
 so the march never re-touches HBM:
 
-  * the validity map is processed in (8, 128) tiles; each tile DMAs one
-    (8 + 2K, 128 + 2K) window into VMEM — every ray step of every pixel
-    in the tile lands inside the window
+  * the validity map is processed in (16, 256) tiles; each tile DMAs one
+    (16 + 2K, 256-aligned + 2K) window into VMEM — every ray step of every
+    pixel in the tile lands inside the window
   * the 32 rays (16 directions x both ways) march with a dynamic
     ``while_loop`` over k that exits as soon as every ray of every pixel
     has found its event (valid pixel or image border) — tiles without
@@ -15,19 +15,27 @@ so the march never re-touches HBM:
   * offsets come from the same c_round tables as the spec, scalar-
     prefetched to SMEM; the window reads are dynamic 2D VMEM slices
   * distance + first-strict-min direction selection and the from/to
-    endpoint choice run in-kernel; the XLA epilogue only does the two
-    depth gathers (background test) and the final channel gather, which
-    are global irregular reads
+    endpoint choice run in-kernel; the fused kernels also capture the
+    endpoint payloads in-kernel so no XLA gather epilogue remains
 
-Compile is seconds and runtime ~10x the XLA formulation's at 1024^2 (the
-XLA version re-slices the full map 32 times per step: ~16 GB of HBM
-traffic at K=128).
+Two-phase adaptive schedule (``phase1_steps``): a short fused march that
+*proves* per-pixel stability and flags unresolved tiles; a second pass
+re-marches ONLY the flagged tiles at the full ``steps`` bound (tile ids
+scalar-prefetched, inactive grid slots skip all work) and scatters the
+re-filled tiles over the phase-1 result. Bit-identical to the one-phase
+march for every input.
+
+``roi`` (static (y0, y1, x0, x1)): treat pixels outside the rectangle as
+non-holes. The pipeline's final crop discards everything outside the
+centered max-crop window, so border hole bands (camera shift exposing
+unrendered margins) never need the expensive wide marches; in-ROI results
+are bit-identical to the full fill because march *sources* are unchanged.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +53,27 @@ _KCHUNK = 4  # ray steps folded into one while-loop iteration
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _window_dims(steps: int) -> Tuple[int, int]:
+    """VMEM window size for the aligned (16, 256)-superset reads."""
+    wh = 2 * steps + 2 * TILE_H
+    ww = _ceil_to(2 * steps, TILE_W) + 2 * TILE_W
+    return wh, ww
+
+
+def _roi_hole_mask(hole, gy0, gx0, roi):
+    """Zero hole flags outside the static ROI rectangle.
+
+    ``gy0``/``gx0``: (traced) image coords of the tile origin.
+    """
+    if roi is None:
+        return hole
+    y0, y1, x0, x1 = roi
+    yy = gy0 + lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    xx = gx0 + lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    ins = ((yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1))
+    return hole * ins.astype(jnp.int32)
 
 
 def _build_kernel(steps, wh, ww, height, width):
@@ -142,8 +171,9 @@ def _build_kernel(steps, wh, ww, height, width):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "interpret"))
-def _fill_single_pallas(image, depth, steps, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "interpret", "roi"))
+def _fill_single_pallas(image, depth, steps, interpret, roi=None):
     h, w, c = image.shape
     valid = depth[..., 0] > 0.0
 
@@ -151,10 +181,7 @@ def _fill_single_pallas(image, depth, steps, interpret):
     wp = _ceil_to(w, TILE_W)
     n_ty = hp // TILE_H
     n_tx = wp // TILE_W
-    # window sized for the aligned (16, 256) reads: dynamic aligned bases
-    # reach down-rounded 2*steps plus the superset extent
-    wh = 2 * steps + 2 * TILE_H
-    ww = _ceil_to(2 * steps, TILE_W) + 2 * TILE_W
+    wh, ww = _window_dims(steps)
 
     # -1 = outside the image, 1 = valid, 0 = hole
     vmap_ = jnp.full((hp, wp), -1, jnp.int32)
@@ -197,6 +224,10 @@ def _fill_single_pallas(image, depth, steps, interpret):
 
     yy = lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    if roi is not None:
+        y0, y1, x0, x1 = roi
+        do_fill = do_fill & ((yy >= y0) & (yy < y1) & (xx >= x0)
+                             & (xx < x1))
     bfy, bfx = yy + o_fy, xx + o_fx
     bty, btx = yy + o_ty, xx + o_tx
 
@@ -212,16 +243,130 @@ def _fill_single_pallas(image, depth, steps, interpret):
     return jnp.where(do_fill[..., None], filled, image)
 
 
-def _build_fused_kernel(steps, wh, ww, c, height, width):
-    """March + endpoint-payload capture + selection + fill, all in-kernel.
+def _tile_fill_core(oy_ref, ox_ref, win, cap_scr, steps, c, hole):
+    """March + endpoint-payload capture + selection for ONE tile.
 
-    Eliminates the XLA epilogue's three per-pixel gathers (~9.5 ms at
-    1024^2) by capturing depth and image channels at each ray's event step
-    (the event offset is uniform across the tile, so the capture is the
-    same aligned-window read + roll as the validity probe). Also emits a
-    per-tile "unresolved" flag used by the two-phase wrapper.
+    ``win``: (2+c, wh, ww) planes in VMEM (0 validity, 1 depth, 2+ image);
+    ``hole``: (TILE_H, TILE_W) int32 0/1 — which pixels need filling.
+    Returns (filled channel tiles [c x (TILE_H, TILE_W)], unresolved mask).
+    The event offset is uniform across the tile, so every capture is the
+    same aligned-window read + roll as the validity probe.
     """
     npl = 1 + c  # captured planes per ray: depth + image channels
+    zero_i = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+
+    def window_at(p, off_y, off_x, ybase, xbase):
+        v = win[p, pl.ds(ybase, 2 * TILE_H), pl.ds(xbase, 2 * TILE_W)]
+        v = pltpu.roll(v, -(off_y - ybase), axis=0)[:TILE_H]
+        return pltpu.roll(v, -(off_x - xbase), axis=1)[:, :TILE_W]
+
+    def march(r, slot):
+        """First event of ray r; captures endpoint depth+image into
+        cap_scr slot. Returns (ev_oy, ev_ox, ev_valid, found_all)."""
+
+        # zero this slot's captures
+        row0 = slot * npl * TILE_H
+        cap_scr[pl.ds(row0, npl * TILE_H), :] = jnp.zeros(
+            (npl * TILE_H, TILE_W), jnp.float32)
+
+        def cond(carry):
+            k, found = carry[0], carry[1]
+            return (k < steps) & (jnp.min(found) < 1)
+
+        def body(carry):
+            k, found, ev_oy, ev_ox, ev_valid = carry
+            for j in range(_KCHUNK):
+                kj = jnp.minimum(k + j, steps - 1)
+                dy = oy_ref[r, kj]
+                dx = ox_ref[r, kj]
+                off_y = steps + dy
+                off_x = steps + dx
+                ybase = (off_y // TILE_H) * TILE_H
+                xbase = (off_x // TILE_W) * TILE_W
+                blk = window_at(0, off_y, off_x, ybase, xbase)
+                is_valid = (blk == 1.0).astype(jnp.int32)
+                event = ((is_valid | (blk == -1.0).astype(jnp.int32))
+                         & (1 - found))
+                event = event * (k + j < steps)
+                evv = event * is_valid
+
+                @pl.when(jnp.max(evv) > 0)
+                def _():
+                    for p in range(npl):
+                        blkp = window_at(1 + p, off_y, off_x, ybase,
+                                         xbase)
+                        rr = row0 + p * TILE_H
+                        cur = cap_scr[pl.ds(rr, TILE_H), :]
+                        cap_scr[pl.ds(rr, TILE_H), :] = jnp.where(
+                            evv > 0, blkp, cur)
+
+                ev_oy = jnp.where(event > 0, dy, ev_oy)
+                ev_ox = jnp.where(event > 0, dx, ev_ox)
+                ev_valid = jnp.where(event > 0, is_valid, ev_valid)
+                found = found | event
+            return k + _KCHUNK, found, ev_oy, ev_ox, ev_valid
+
+        _, found, ev_oy, ev_ox, ev_valid = lax.while_loop(
+            cond, body, (0, 1 - hole, zero_i, zero_i, zero_i))
+        return ev_oy, ev_ox, ev_valid, found
+
+    def captures(slot):
+        row0 = slot * npl * TILE_H
+        d = cap_scr[pl.ds(row0, TILE_H), :]
+        img = [cap_scr[pl.ds(row0 + (1 + ch) * TILE_H, TILE_H), :]
+               for ch in range(c)]
+        return d, img
+
+    best_dist = jnp.full((TILE_H, TILE_W), 3e38, jnp.float32)
+    bd_from = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    bd_to = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    bimg_from = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                 for _ in range(c)]
+    bimg_to = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
+               for _ in range(c)]
+    all_evented = jnp.ones((TILE_H, TILE_W), jnp.int32)
+
+    for d in range(16):
+        t_oy, t_ox, t_ok, t_any = march(d, 0)
+        d_to, img_to = captures(0)
+        f_oy, f_ox, f_ok, f_any = march(d + 16, 1)
+        d_from, img_from = captures(1)
+        all_evented = all_evented & t_any & f_any
+
+        both = (t_ok & f_ok) > 0
+        dx_d = (t_ox - f_ox).astype(jnp.float32)
+        dy_d = (t_oy - f_oy).astype(jnp.float32)
+        dist = jnp.sqrt(dx_d * dx_d + dy_d * dy_d)
+        dist = jnp.where(both, dist, jnp.float32(3e38))
+        better = dist < best_dist  # strict: first minimum wins
+        best_dist = jnp.where(better, dist, best_dist)
+        bd_from = jnp.where(better, d_from, bd_from)
+        bd_to = jnp.where(better, d_to, bd_to)
+        for ch in range(c):
+            bimg_from[ch] = jnp.where(better, img_from[ch],
+                                      bimg_from[ch])
+            bimg_to[ch] = jnp.where(better, img_to[ch], bimg_to[ch])
+
+    do_fill = (hole > 0) & (best_dist < 1e38)
+    use_to = bd_from < bd_to  # farther endpoint (background) wins
+    rows = []
+    for ch in range(c):
+        fill_ch = jnp.where(use_to, bimg_to[ch], bimg_from[ch])
+        cimg = win[2 + ch, steps:steps + TILE_H, steps:steps + TILE_W]
+        rows.append(jnp.where(do_fill, fill_ch, cimg))
+
+    # a resolved hole either has a provably-final winner (its pair
+    # distance can't be beaten by any ray that has not evented within
+    # `steps`, whose eventual pair distance is > steps - 1) or has no
+    # ray left to event at all
+    stable = (do_fill & (best_dist <= jnp.float32(steps - 1))) \
+        | (all_evented > 0)
+    unresolved = ((hole > 0) & ~stable).astype(jnp.int32)
+    return rows, unresolved
+
+
+def _build_fused_kernel(steps, wh, ww, c, roi):
+    """Phase-1 fused fill over the full tile grid + per-tile flags."""
 
     def kernel(oy_ref, ox_ref, planes_hbm, out_ref, flag_ref, win, cap_scr,
                out_scr, flag_scr, win_sem, out_sem, flag_sem):
@@ -236,117 +381,13 @@ def _build_fused_kernel(steps, wh, ww, c, height, width):
 
         center = win[0, steps:steps + TILE_H, steps:steps + TILE_W]
         hole = (center == 0.0).astype(jnp.int32)
-        zero_i = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+        hole = _roi_hole_mask(hole, ty * TILE_H, tx * TILE_W, roi)
 
-        def window_at(p, off_y, off_x, ybase, xbase):
-            v = win[p, pl.ds(ybase, 2 * TILE_H), pl.ds(xbase, 2 * TILE_W)]
-            v = pltpu.roll(v, -(off_y - ybase), axis=0)[:TILE_H]
-            return pltpu.roll(v, -(off_x - xbase), axis=1)[:, :TILE_W]
-
-        def march(r, slot):
-            """First event of ray r; captures endpoint depth+image into
-            cap_scr slot. Returns (ev_oy, ev_ox, ev_valid, found_any)."""
-
-            # zero this slot's captures
-            row0 = slot * npl * TILE_H
-            cap_scr[pl.ds(row0, npl * TILE_H), :] = jnp.zeros(
-                (npl * TILE_H, TILE_W), jnp.float32)
-
-            def cond(carry):
-                k, found = carry[0], carry[1]
-                return (k < steps) & (jnp.min(found) < 1)
-
-            def body(carry):
-                k, found, ev_oy, ev_ox, ev_valid = carry
-                for j in range(_KCHUNK):
-                    kj = jnp.minimum(k + j, steps - 1)
-                    dy = oy_ref[r, kj]
-                    dx = ox_ref[r, kj]
-                    off_y = steps + dy
-                    off_x = steps + dx
-                    ybase = (off_y // TILE_H) * TILE_H
-                    xbase = (off_x // TILE_W) * TILE_W
-                    blk = window_at(0, off_y, off_x, ybase, xbase)
-                    is_valid = (blk == 1.0).astype(jnp.int32)
-                    event = ((is_valid | (blk == -1.0).astype(jnp.int32))
-                             & (1 - found))
-                    event = event * (k + j < steps)
-                    evv = event * is_valid
-
-                    @pl.when(jnp.max(evv) > 0)
-                    def _():
-                        for p in range(npl):
-                            blkp = window_at(1 + p, off_y, off_x, ybase,
-                                             xbase)
-                            rr = row0 + p * TILE_H
-                            cur = cap_scr[pl.ds(rr, TILE_H), :]
-                            cap_scr[pl.ds(rr, TILE_H), :] = jnp.where(
-                                evv > 0, blkp, cur)
-
-                    ev_oy = jnp.where(event > 0, dy, ev_oy)
-                    ev_ox = jnp.where(event > 0, dx, ev_ox)
-                    ev_valid = jnp.where(event > 0, is_valid, ev_valid)
-                    found = found | event
-                return k + _KCHUNK, found, ev_oy, ev_ox, ev_valid
-
-            _, found, ev_oy, ev_ox, ev_valid = lax.while_loop(
-                cond, body, (0, 1 - hole, zero_i, zero_i, zero_i))
-            return ev_oy, ev_ox, ev_valid, found
-
-        def captures(slot):
-            row0 = slot * npl * TILE_H
-            d = cap_scr[pl.ds(row0, TILE_H), :]
-            img = [cap_scr[pl.ds(row0 + (1 + ch) * TILE_H, TILE_H), :]
-                   for ch in range(c)]
-            return d, img
-
-        best_dist = jnp.full((TILE_H, TILE_W), 3e38, jnp.float32)
-        bd_from = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        bd_to = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        bimg_from = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                     for _ in range(c)]
-        bimg_to = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                   for _ in range(c)]
-        all_evented = jnp.ones((TILE_H, TILE_W), jnp.int32)
-
-        for d in range(16):
-            t_oy, t_ox, t_ok, t_any = march(d, 0)
-            d_to, img_to = captures(0)
-            f_oy, f_ox, f_ok, f_any = march(d + 16, 1)
-            d_from, img_from = captures(1)
-            all_evented = all_evented & t_any & f_any
-
-            both = (t_ok & f_ok) > 0
-            dx_d = (t_ox - f_ox).astype(jnp.float32)
-            dy_d = (t_oy - f_oy).astype(jnp.float32)
-            dist = jnp.sqrt(dx_d * dx_d + dy_d * dy_d)
-            dist = jnp.where(both, dist, jnp.float32(3e38))
-            better = dist < best_dist  # strict: first minimum wins
-            best_dist = jnp.where(better, dist, best_dist)
-            bd_from = jnp.where(better, d_from, bd_from)
-            bd_to = jnp.where(better, d_to, bd_to)
-            for ch in range(c):
-                bimg_from[ch] = jnp.where(better, img_from[ch],
-                                          bimg_from[ch])
-                bimg_to[ch] = jnp.where(better, img_to[ch], bimg_to[ch])
-
-        do_fill = (hole > 0) & (best_dist < 1e38)
-        use_to = bd_from < bd_to  # farther endpoint (background) wins
+        rows, unresolved = _tile_fill_core(oy_ref, ox_ref, win, cap_scr,
+                                           steps, c, hole)
         for ch in range(c):
-            fill_ch = jnp.where(use_to, bimg_to[ch], bimg_from[ch])
-            cimg = win[2 + ch, steps:steps + TILE_H, steps:steps + TILE_W]
-            out_scr[pl.ds(ch * TILE_H, TILE_H), :] = jnp.where(
-                do_fill, fill_ch, cimg)
-
-        # a resolved hole either has a provably-final winner (its pair
-        # distance can't be beaten by any ray that has not evented within
-        # `steps`, whose eventual pair distance is > steps - 1) or has no
-        # ray left to event at all
-        stable = (do_fill & (best_dist <= jnp.float32(steps - 1))) \
-            | (all_evented > 0)
-        unresolved = (hole > 0) & ~stable
-        flag_scr[:, :] = jnp.full((8, 128), jnp.max(
-            unresolved.astype(jnp.int32)), jnp.int32)
+            out_scr[pl.ds(ch * TILE_H, TILE_H), :] = rows[ch]
+        flag_scr[:, :] = jnp.full((8, 128), jnp.max(unresolved), jnp.int32)
 
         cp2 = pltpu.make_async_copy(out_scr, out_ref.at[ty, tx], out_sem)
         cp2.start()
@@ -358,22 +399,56 @@ def _build_fused_kernel(steps, wh, ww, c, height, width):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "interpret"))
-def _fill_single_fused(image, depth, steps, interpret):
-    """Phase-1 fused fill. Returns (filled (H, W, C), unresolved_any)."""
+def _build_gated_kernel(steps, wh, ww, c, roi, n_tx):
+    """Phase-2 fused fill over a scalar-prefetched unresolved-tile list.
+
+    Grid slot i handles tile ``ids_ref[i]`` when ``i < cnt_ref[0]``;
+    inactive slots skip all work (their output rows are dropped by the
+    caller's scatter merge).
+    """
+
+    def kernel(oy_ref, ox_ref, ids_ref, cnt_ref, planes_hbm, out_ref, win,
+               cap_scr, out_scr, win_sem, out_sem):
+        i = pl.program_id(0)
+
+        @pl.when(i < cnt_ref[0])
+        def _():
+            tid = ids_ref[i]
+            ty = tid // n_tx
+            tx = tid - ty * n_tx
+
+            cp = pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(ty * TILE_H, wh),
+                              pl.ds(tx * TILE_W, ww)],
+                win, win_sem)
+            cp.start()
+            cp.wait()
+
+            center = win[0, steps:steps + TILE_H, steps:steps + TILE_W]
+            hole = (center == 0.0).astype(jnp.int32)
+            hole = _roi_hole_mask(hole, ty * TILE_H, tx * TILE_W, roi)
+
+            rows, _ = _tile_fill_core(oy_ref, ox_ref, win, cap_scr, steps,
+                                      c, hole)
+            for ch in range(c):
+                out_scr[pl.ds(ch * TILE_H, TILE_H), :] = rows[ch]
+
+            cp2 = pltpu.make_async_copy(out_scr, out_ref.at[i], out_sem)
+            cp2.start()
+            cp2.wait()
+
+    return kernel
+
+
+def _build_planes(image, depth, steps, hp, wp, n_ty, n_tx):
+    """Padded (2+c, rows, lanes) planes so the window DMA of any tile is a
+    plain dynamic slice: 0 validity (-1 outside, 0 hole, 1 valid),
+    1 depth, 2+ image channels."""
     h, w, c = image.shape
-    valid = depth[..., 0] > 0.0
-
-    hp = _ceil_to(h, TILE_H)
-    wp = _ceil_to(w, TILE_W)
-    n_ty = hp // TILE_H
-    n_tx = wp // TILE_W
-    wh = 2 * steps + 2 * TILE_H
-    ww = _ceil_to(2 * steps, TILE_W) + 2 * TILE_W
-
+    wh, ww = _window_dims(steps)
     rows = (n_ty - 1) * TILE_H + wh
     lanes = (n_tx - 1) * TILE_W + ww
-    # plane 0: validity (-1 outside, 0 hole, 1 valid); 1: depth; 2+: image
+    valid = depth[..., 0] > 0.0
     vmap_ = jnp.full((hp, wp), -1.0, jnp.float32)
     vmap_ = vmap_.at[:h, :w].set(valid.astype(jnp.float32))
     planes = jnp.zeros((2 + c, rows, lanes), jnp.float32)
@@ -383,7 +458,29 @@ def _fill_single_fused(image, depth, steps, interpret):
         depth[..., 0])
     planes = planes.at[2:, steps:steps + h, steps:steps + w].set(
         jnp.moveaxis(image, -1, 0))
+    return planes, wh, ww
 
+
+def _tiles_to_image(tiles, n_ty, n_tx, c, h, w):
+    """(n_ty*n_tx, TILE_H, TILE_W, c) tile-major -> (h, w, c)."""
+    img = tiles.reshape(n_ty, n_tx, TILE_H, TILE_W, c)
+    img = jnp.transpose(img, (0, 2, 1, 3, 4))
+    return img.reshape(n_ty * TILE_H, n_tx * TILE_W, c)[:h, :w]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "interpret", "roi"))
+def _fill_single_fused(image, depth, steps, interpret, roi=None):
+    """Phase-1 fused fill.
+
+    Returns (filled (H, W, C), unresolved per-tile flags (n_ty, n_tx)).
+    """
+    h, w, c = image.shape
+    hp = _ceil_to(h, TILE_H)
+    wp = _ceil_to(w, TILE_W)
+    n_ty = hp // TILE_H
+    n_tx = wp // TILE_W
+    planes, wh, ww = _build_planes(image, depth, steps, hp, wp, n_ty, n_tx)
     ox_np, oy_np = _offset_tables(steps)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -403,7 +500,7 @@ def _fill_single_fused(image, depth, steps, interpret):
         ],
     )
     out, flags = pl.pallas_call(
-        _build_fused_kernel(steps, wh, ww, c, h, w),
+        _build_fused_kernel(steps, wh, ww, c, roi),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_ty, n_tx, c * TILE_H, TILE_W),
@@ -416,35 +513,98 @@ def _fill_single_fused(image, depth, steps, interpret):
     img = out.reshape(n_ty, n_tx, c, TILE_H, TILE_W)
     img = jnp.transpose(img, (2, 0, 3, 1, 4)).reshape(c, hp, wp)[:, :h, :w]
     img = jnp.moveaxis(img, 0, -1)
-    return img, jnp.max(flags[:, :, 0, 0]) > 0
+    return img, flags[:, :, 0, 0] > 0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "interpret", "roi"))
+def _fill_phase2_gated(image, depth, filled1, flags, steps, interpret,
+                       roi=None):
+    """Re-march ONLY the flagged tiles at the full ``steps`` bound and
+    scatter their refilled tiles over the phase-1 result."""
+    h, w, c = image.shape
+    hp = _ceil_to(h, TILE_H)
+    wp = _ceil_to(w, TILE_W)
+    n_ty = hp // TILE_H
+    n_tx = wp // TILE_W
+    t = n_ty * n_tx
+
+    planes, wh, ww = _build_planes(image, depth, steps, hp, wp, n_ty, n_tx)
+    ox_np, oy_np = _offset_tables(steps)
+
+    flags_flat = flags.reshape(-1)
+    # stable argsort puts flagged tiles first, in tile order
+    order = jnp.argsort(jnp.logical_not(flags_flat)).astype(jnp.int32)
+    count = jnp.sum(flags_flat.astype(jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(t,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2 + c, wh, ww), jnp.float32),
+            pltpu.VMEM((2 * (1 + c) * TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((c * TILE_H, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        _build_gated_kernel(steps, wh, ww, c, roi, n_tx),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, c * TILE_H, TILE_W),
+                                       jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(oy_np), jnp.asarray(ox_np), order,
+      count.reshape(1), planes)
+
+    # merge: inactive slots scatter out of bounds and are dropped
+    tiles2 = jnp.transpose(out.reshape(t, c, TILE_H, TILE_W),
+                           (0, 2, 3, 1))
+    pad1 = jnp.zeros((hp, wp, c), filled1.dtype).at[:h, :w].set(filled1)
+    tiled1 = jnp.transpose(
+        pad1.reshape(n_ty, TILE_H, n_tx, TILE_W, c),
+        (0, 2, 1, 3, 4)).reshape(t, TILE_H, TILE_W, c)
+    slot = jnp.arange(t, dtype=jnp.int32)
+    scatter_ids = jnp.where(slot < count, order, t)
+    merged = tiled1.at[scatter_ids].set(tiles2, mode="drop")
+    return _tiles_to_image(merged, n_ty, n_tx, c, h, w)
 
 
 def fill_disocclusion_pallas(image: jax.Array, depth: jax.Array,
                              steps: int = 128,
                              phase1_steps: int = 0,
+                             roi: Optional[Tuple[int, int, int, int]] = None,
                              interpret: bool | None = None) -> jax.Array:
     """Drop-in Pallas implementation of ops/discfill.py:fill_disocclusion.
 
     ``image``: (B, H, W, C); ``depth``: (B, H, W, 1); holes are depth <= 0.
 
     With ``phase1_steps > 0`` runs the two-phase adaptive fill: a fused
-    short march (phase1_steps) that captures endpoint payloads in-kernel,
-    plus an exact ``steps``-bound re-run under a ``lax.cond`` for frames
-    containing holes too wide for phase 1 to settle. Bit-identical to the
-    one-phase fill for every input; ~10x cheaper on typical frames whose
-    holes are a few pixels wide.
+    short march (phase1_steps) that captures endpoint payloads in-kernel
+    and *proves* per-pixel stability, plus an exact ``steps``-bound
+    re-march of ONLY the unresolved tiles (scalar-prefetched tile list)
+    scattered over the phase-1 result. Bit-identical to the one-phase fill
+    for every input.
+
+    ``roi``: static (y0, y1, x0, x1) — pixels outside are treated as
+    non-holes (left untouched); in-ROI results stay bit-identical to the
+    full fill because march sources are unchanged.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     def one(img_b, depth_b):
         if phase1_steps <= 0 or phase1_steps >= steps:
-            return _fill_single_pallas(img_b, depth_b, steps, interpret)
-        filled1, unresolved = _fill_single_fused(img_b, depth_b,
-                                                 phase1_steps, interpret)
+            return _fill_single_pallas(img_b, depth_b, steps, interpret,
+                                       roi)
+        filled1, flags = _fill_single_fused(img_b, depth_b, phase1_steps,
+                                            interpret, roi)
         return lax.cond(
-            unresolved,
-            lambda: _fill_single_pallas(img_b, depth_b, steps, interpret),
+            jnp.any(flags),
+            lambda: _fill_phase2_gated(img_b, depth_b, filled1, flags,
+                                       steps, interpret, roi),
             lambda: filled1)
 
     return jnp.stack([one(image[b], depth[b])

@@ -165,6 +165,22 @@ def build_effect_fn(
     max_cw = max(zoom.src.crop_width, zoom.dst.crop_width)
     max_ch = max(zoom.src.crop_height, zoom.dst.crop_height)
 
+    # Static fill ROI: the frame crop is always the centered max-crop
+    # window (the camera shift pans the cloud, not the crop), so the
+    # disocclusion fill only needs to resolve holes the bilinear crop can
+    # touch — border hole bands from camera shift fall outside it and
+    # would otherwise trigger the widest marches. +2px covers the
+    # bilinear taps (crop_rect_subpix samples center ± (patch-1)/2).
+    fill_roi = None
+    if effect.fill_roi:
+        rx0 = max(0, int(np.floor(width / 2.0 - (max_cw - 1) / 2.0)) - 2)
+        rx1 = min(width, int(np.floor(width / 2.0 + (max_cw - 1) / 2.0)) + 3)
+        ry0 = max(0, int(np.floor(height / 2.0 - (max_ch - 1) / 2.0)) - 2)
+        ry1 = min(height,
+                  int(np.floor(height / 2.0 + (max_ch - 1) / 2.0)) + 3)
+        if (ry0, ry1, rx0, rx1) != (0, height, 0, width):
+            fill_roi = (ry0, ry1, rx0, rx1)
+
     # frame-loop renderer selection (static). "banded" (the default) has
     # no displacement bound: per-frame CSR routing adapts to the actual
     # point distribution and falls back to the exact scatter path on
@@ -315,9 +331,7 @@ def build_effect_fn(
             else:
                 filled = fill_disocclusion_pallas(
                     render, render_depth, effect.fill_march_steps,
-                    phase1_steps=effect.fill_march_phase1)
-            # uint8 quantization happens before crop in the reference
-            # (utils/common.py:255): clip + truncate.
+                    phase1_steps=effect.fill_march_phase1, roi=fill_roi)
             # uint8 quantization happens BEFORE crop in the reference
             # (utils/common.py:255 astype truncates), and the uint8 cv2
             # crop + resize each round-to-nearest (:256-257) — reproduce

@@ -62,6 +62,25 @@ def test_fill_two_phase_wide_hole_falls_back():
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
+def test_fill_roi_matches_inside_untouched_outside():
+    # ROI fill: in-ROI pixels bit-identical to the full fill (march
+    # sources unchanged), out-of-ROI holes left exactly as the input —
+    # on both the one-phase and two-phase paths.
+    img, depth = _scene(48, 256, seed=6)
+    roi = (8, 40, 32, 224)
+    full = np.asarray(fill_disocclusion(img, depth, 32))
+    for kw in ({}, {"phase1_steps": 8}):
+        got = np.asarray(fill_disocclusion_pallas(img, depth, 32, roi=roi,
+                                                  **kw))
+        y0, y1, x0, x1 = roi
+        np.testing.assert_array_equal(got[:, y0:y1, x0:x1],
+                                      full[:, y0:y1, x0:x1])
+        outside = np.ones((48, 256), bool)
+        outside[y0:y1, x0:x1] = False
+        np.testing.assert_array_equal(got[:, outside],
+                                      np.asarray(img)[:, outside])
+
+
 def test_fill_fused_phase1_unresolved_flag():
     from kbe_tpu.ops.discfill_pallas import _fill_single_fused
 
@@ -73,11 +92,11 @@ def test_fill_fused_phase1_unresolved_flag():
     depth_np[10:13, 30:33] = 0.0
     depth_np[30:32, 180:184] = 0.0
     _, unresolved = _fill_single_fused(img, jnp.asarray(depth_np), 8, True)
-    assert not bool(unresolved)
+    assert not bool(jnp.any(unresolved))
 
     # a hole wider than the phase-1 reach in every direction -> fallback
     depth_np2 = depth_np.copy()
     depth_np2[10:38, 40:150] = 0.0
     _, unresolved = _fill_single_fused(img, jnp.asarray(depth_np2), 8,
                                        True)
-    assert bool(unresolved)
+    assert bool(jnp.any(unresolved))

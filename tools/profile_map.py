@@ -85,6 +85,16 @@ def main():
     max_cw = max(zoom.src.crop_width, zoom.dst.crop_width)
     max_ch = max(zoom.src.crop_height, zoom.dst.crop_height)
 
+    # static fill ROI, mirroring kenburns.build_effect_fn
+    rx0 = max(0, int(np.floor(w / 2.0 - (max_cw - 1) / 2.0)) - 2)
+    rx1 = min(w, int(np.floor(w / 2.0 + (max_cw - 1) / 2.0)) + 3)
+    ry0 = max(0, int(np.floor(h / 2.0 - (max_ch - 1) / 2.0)) - 2)
+    ry1 = min(h, int(np.floor(h / 2.0 + (max_ch - 1) / 2.0)) + 3)
+    roi = (ry0, ry1, rx0, rx1)
+    if roi == (0, h, 0, w):
+        roi = None
+    print(f"fill roi: {roi}")
+
     from kbe_tpu.ops import splat_banded as sb
     from kbe_tpu.ops.discfill_pallas import (_fill_single_fused,
                                              _fill_single_pallas)
@@ -168,15 +178,16 @@ def main():
         if upto == "fillp1":
             f1, unresolved = _fill_single_fused(
                 render[0], render_depth[0], effect.fill_march_phase1,
-                False)
-            return jnp.sum(f1[..., 0]) + unresolved.astype(jnp.float32)
+                False, roi)
+            return (jnp.sum(f1[..., 0])
+                    + jnp.sum(unresolved.astype(jnp.float32)))
         if upto == "fillp2":
             f2 = _fill_single_pallas(render[0], render_depth[0],
-                                     effect.fill_march_steps, False)
+                                     effect.fill_march_steps, False, roi)
             return jnp.sum(f2[..., 0])
         filled = fill_disocclusion_pallas(
             render, render_depth, effect.fill_march_steps,
-            phase1_steps=effect.fill_march_phase1)
+            phase1_steps=effect.fill_march_phase1, roi=roi)
         if upto == "fill":
             return jnp.sum(filled[..., 0])
         rgb = jnp.floor(jnp.clip(filled[..., 0:3] * 255.0, 0.0, 255.0))
@@ -209,10 +220,13 @@ def main():
             xyz, data, h, w, focal, camera.baseline, valid=cloud_valid)
         render_depth = render[..., 3:4] * (weight > 0.0)
         _, unr = _fill_single_fused(render[0], render_depth[0],
-                                    effect.fill_march_phase1, False)
-        return unr
-    flags = jax.jit(lambda xs: lax.map(unresolved, xs))((steps, focals))
-    print(f"phase-2 frames: {int(np.sum(np.asarray(flags)))}/{n_poses}")
+                                    effect.fill_march_phase1, False, roi)
+        return jnp.any(unr), jnp.sum(unr.astype(jnp.int32))
+    frames_flagged, tiles = jax.jit(
+        lambda xs: lax.map(unresolved, xs))((steps, focals))
+    print(f"phase-2 frames: {int(np.sum(np.asarray(frames_flagged)))}"
+          f"/{n_poses}  (flagged tiles per frame: "
+          f"{np.asarray(tiles).tolist()})")
 
 
 if __name__ == "__main__":
