@@ -41,6 +41,7 @@ placement trick, CSR routing via one sort.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -56,13 +57,17 @@ from kbe_tpu.ops.splat_routed import _BIG, _DISQ, _INF, _build_csr, \
 
 CHUNK_H = 8
 CHUNK_W = 128
-TILE_H = 32
-TILE_W = 256
+# Tile/band geometry, overridable from the environment for hardware
+# sweeps (read once at import; constants are baked into the kernels at
+# trace time). Defaults are the measured-best v5e configuration.
+TILE_H = int(os.environ.get("KBE_TILE_H", "32"))
+TILE_W = int(os.environ.get("KBE_TILE_W", "256"))
 _HALO_LO = 3
 _HALO_HI = 4
-BAND_W = 8             # static x-residual window width: 8 halves the
-                       # per-iteration combo work vs 16; typical chunks
-                       # (x-spread <= 6) still need a single window
+BAND_W = int(os.environ.get("KBE_BAND_W", "8"))
+# static x-residual window width: lower means fewer static combos per
+# window-row but more windows for wide-spread chunks; typical chunks
+# (x-spread <= 6) still need a single window at 8
 PAD_Y = CHUNK_H        # buffer spill margins for dynamic placement
 PAD_X = 2 * CHUNK_W
 _RSENT = 20000         # invalid-point residual sentinel
@@ -71,6 +76,62 @@ _RGH = TILE_H + _HALO_LO + _HALO_HI          # 39
 _RGW = TILE_W + _HALO_LO + _HALO_HI          # 263
 _BH = _ceil_to(_RGH + PAD_Y + CHUNK_H, CHUNK_H)       # 56
 _BW = _ceil_to(_RGW + PAD_X + 2 * CHUNK_W, 2 * CHUNK_W)  # 1024
+
+# Wide-payload variant: pads sized so the tile core starts at sublane 16
+# and lane 512 — the per-(tile, group) core DMA out is then aligned to
+# Mosaic's (8, 128) VMEM tiling.
+PAD_YW = 2 * CHUNK_H - _HALO_LO                        # 13
+PAD_XW = 4 * CHUNK_W - _HALO_LO                        # 509
+_BHW = _ceil_to(_RGH + PAD_YW + CHUNK_H, CHUNK_H)      # 64
+_BWW = _ceil_to(_RGW + PAD_XW + 2 * CHUNK_W, 2 * CHUNK_W)  # 1280
+_GRP = 8               # payload planes accumulated per group pass
+
+
+def _shift_band(x, s, fill):
+    """Place (8, 128) source-lane values into a (8, 256) band at static
+    lane offset s (band lane = source lane + s)."""
+    if s == 0:
+        return jnp.concatenate(
+            [x, jnp.full((CHUNK_H, CHUNK_W), fill, jnp.float32)], axis=1)
+    return jnp.concatenate(
+        [jnp.full((CHUNK_H, s), fill, jnp.float32), x,
+         jnp.full((CHUNK_H, CHUNK_W - s), fill, jnp.float32)], axis=1)
+
+
+def _degrid_zee(zee, inimg, bh, bw):
+    """Spec-rounded degrid averaging over a raw z buffer (2D array math,
+    reference utils/common.py:524-582 semantics; out-of-image cells
+    disqualified then zeroed)."""
+    zee = jnp.where(inimg, zee, _DISQ)
+
+    def shift2(a, dy_, dx_):
+        out = a
+        if dy_ > 0:
+            out = jnp.concatenate(
+                [out[dy_:], jnp.full((dy_, bw), _DISQ, jnp.float32)], 0)
+        elif dy_ < 0:
+            out = jnp.concatenate(
+                [jnp.full((-dy_, bw), _DISQ, jnp.float32), out[:dy_]], 0)
+        if dx_ > 0:
+            out = jnp.concatenate(
+                [out[:, dx_:], jnp.full((bh, dx_), _DISQ, jnp.float32)], 1)
+        elif dx_ < 0:
+            out = jnp.concatenate(
+                [jnp.full((bh, -dx_), _DISQ, jnp.float32), out[:, :dx_]],
+                1)
+        return out
+
+    total = jnp.zeros((bh, bw), jnp.float32)
+    count = jnp.zeros((bh, bw), jnp.float32)
+    for dx_, dy_ in ((1, 0), (0, 1), (1, 1), (1, -1)):
+        one = shift2(zee, dy_, dx_)
+        two = shift2(zee, -dy_, -dx_)
+        good = (zee >= one + 1.0) & (zee >= two + 1.0)
+        total = total + jnp.where(good, (one + _BIG) + (two + _BIG), 0.0)
+        count = count + jnp.where(good, 2.0, 0.0)
+    avg = total / jnp.maximum(count, 1.0) - _BIG
+    zee_d = jnp.where(count > 0.0, jnp.minimum(zee, avg), zee)
+    return jnp.where(inimg, zee_d, 0.0)
 
 
 def _pack_records_banded(rdy, rdx, fx, fy, key, pay):
@@ -155,17 +216,7 @@ def _build_banded_kernel(d, height, width, per_grid, wc):
             kk = rec[slot, 4 * CHUNK_H:5 * CHUNK_H, :]
             return rdyi, rdxi, fx, fy, kk
 
-        def shift_into_band(x, s, fill):
-            """Place (8, 128) source-lane values into a (8, 256) band at
-            static lane offset s (band lane = source lane + s)."""
-            if s == 0:
-                return jnp.concatenate(
-                    [x, jnp.full((CHUNK_H, CHUNK_W), fill, jnp.float32)],
-                    axis=1)
-            return jnp.concatenate(
-                [jnp.full((CHUNK_H, s), fill, jnp.float32), x,
-                 jnp.full((CHUNK_H, CHUNK_W - s), fill, jnp.float32)],
-                axis=1)
+        shift_into_band = _shift_band
 
         def place(buf, row_off, by, bx, block, merge, fill):
             """Merge a (8, 256) block into buf at buffer position
@@ -237,40 +288,7 @@ def _build_banded_kernel(d, height, width, per_grid, wc):
         gx_img = bx_iota - PAD_X + tox
         inimg = ((gy_img >= 0) & (gy_img < height) & (gx_img >= 0)
                  & (gx_img < width))
-        zee = jnp.where(inimg, zee, _DISQ)
-
-        def shift2(a, dy_, dx_):
-            out = a
-            if dy_ > 0:
-                out = jnp.concatenate(
-                    [out[dy_:], jnp.full((dy_, bw), _DISQ, jnp.float32)], 0)
-            elif dy_ < 0:
-                out = jnp.concatenate(
-                    [jnp.full((-dy_, bw), _DISQ, jnp.float32), out[:dy_]],
-                    0)
-            if dx_ > 0:
-                out = jnp.concatenate(
-                    [out[:, dx_:], jnp.full((bh, dx_), _DISQ, jnp.float32)],
-                    1)
-            elif dx_ < 0:
-                out = jnp.concatenate(
-                    [jnp.full((bh, -dx_), _DISQ, jnp.float32),
-                     out[:, :dx_]], 1)
-            return out
-
-        total = jnp.zeros((bh, bw), jnp.float32)
-        count = jnp.zeros((bh, bw), jnp.float32)
-        for dx_, dy_ in ((1, 0), (0, 1), (1, 1), (1, -1)):
-            one = shift2(zee, dy_, dx_)
-            two = shift2(zee, -dy_, -dx_)
-            good = (zee >= one + 1.0) & (zee >= two + 1.0)
-            total = total + jnp.where(good, (one + _BIG) + (two + _BIG),
-                                      0.0)
-            count = count + jnp.where(good, 2.0, 0.0)
-        avg = total / jnp.maximum(count, 1.0) - _BIG
-        zee_d = jnp.where(count > 0.0, jnp.minimum(zee, avg), zee)
-        zee_d = jnp.where(inimg, zee_d, 0.0)
-        zee_buf[:, :] = zee_d
+        zee_buf[:, :] = _degrid_zee(zee, inimg, bh, bw)
 
         # ---- pass B: banded bilinear accumulation with in-band z-test ----
         acc_buf[:, :] = jnp.zeros((d * bh, bw), jnp.float32)
@@ -331,6 +349,224 @@ def _build_banded_kernel(d, height, width, per_grid, wc):
     return kernel
 
 
+def _build_banded_wide_kernel(n_g, height, width, per_grid, wc):
+    """Banded splat for wide payloads (grid dim 2 = payload group).
+
+    Grid (n_ty, n_tx, n_g), groups innermost: the z-buffer pass + degrid
+    run once per tile at g == 0 and persist in the zee scratch for the
+    remaining group passes (sequential TPU grid execution). Each group
+    pass streams only its ``_GRP`` payload planes' record rows (second
+    DMA alongside the 5 geometry planes) and accumulates them, then DMAs
+    the lane-aligned tile core out — so HBM output traffic is
+    O(C * H * W), not O(C * buffer area).
+    """
+    bh, bw = _BHW, _BWW
+    rgh, rgw = _RGH, _RGW
+    geom_rows = 5 * CHUNK_H
+    grp_rows = _GRP * CHUNK_H
+    y0c = PAD_YW + _HALO_LO          # == 16, sublane-aligned
+    x0c = PAD_XW + _HALO_LO          # == 512, lane-aligned
+    assert y0c % (2 * CHUNK_H) == 0 and x0c % (2 * CHUNK_W) == 0
+
+    def kernel(off_ref, ids_ref, meta1_ref, meta2_ref, rec_hbm, out_ref,
+               rec_vmem, zee_buf, acc_buf, copy_sem, out_sem):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        g = pl.program_id(2)
+        t = ty * pl.num_programs(1) + tx
+        start = off_ref[t]
+        cnt = off_ref[t + 1] - start
+        toy = ty * TILE_H - _HALO_LO
+        tox = tx * TILE_W - _HALO_LO
+
+        def geom_dma(slot, j):
+            return pltpu.make_async_copy(
+                rec_hbm.at[ids_ref[start + j], pl.ds(0, geom_rows)],
+                rec_vmem.at[slot, pl.ds(0, geom_rows)],
+                copy_sem.at[slot, 0])
+
+        def grp_dma(slot, j):
+            return pltpu.make_async_copy(
+                rec_hbm.at[ids_ref[start + j],
+                           pl.ds(geom_rows + g * grp_rows, grp_rows)],
+                rec_vmem.at[slot, pl.ds(geom_rows, grp_rows)],
+                copy_sem.at[slot, 1])
+
+        def stream(body, with_payload):
+            def start_dmas(slot, j):
+                geom_dma(slot, j).start()
+                if with_payload:
+                    grp_dma(slot, j).start()
+
+            def wait_dmas(slot, j):
+                geom_dma(slot, j).wait()
+                if with_payload:
+                    grp_dma(slot, j).wait()
+
+            @pl.when(cnt > 0)
+            def _():
+                start_dmas(0, 0)
+
+            def loop(j, carry):
+                slot = j % 2
+
+                @pl.when(j + 1 < cnt)
+                def _():
+                    start_dmas((j + 1) % 2, j + 1)
+
+                wait_dmas(slot, j)
+                body(slot, j)
+                return carry
+
+            lax.fori_loop(0, cnt, loop, 0)
+
+        def chunk_meta(j):
+            cid = ids_ref[start + j]
+            m1 = meta1_ref[start + j]
+            m2 = meta2_ref[start + j]
+            base_dy = m1 >> 16
+            base_dx = ((m1 & 0xffff) ^ 0x8000) - 0x8000
+            y_cnt = (m2 >> 8) & 0xff
+            xw_cnt = m2 & 0xff
+            return cid, base_dy, base_dx, y_cnt, xw_cnt
+
+        def chunk_fields(slot):
+            rec = rec_vmem
+            rdyi = rec[slot, 0:CHUNK_H, :].astype(jnp.int32)
+            rdxi = rec[slot, CHUNK_H:2 * CHUNK_H, :].astype(jnp.int32)
+            fx = rec[slot, 2 * CHUNK_H:3 * CHUNK_H, :]
+            fy = rec[slot, 3 * CHUNK_H:4 * CHUNK_H, :]
+            kk = rec[slot, 4 * CHUNK_H:5 * CHUNK_H, :]
+            return rdyi, rdxi, fx, fy, kk
+
+        def place2(buf, by, bx, block, merge, fill):
+            ybase = (by // CHUNK_H) * CHUNK_H
+            xbase = (bx // (2 * CHUNK_W)) * (2 * CHUNK_W)
+            blk = jnp.pad(block, ((0, CHUNK_H), (0, 2 * CHUNK_W)),
+                          constant_values=fill)
+            blk = pltpu.roll(blk, by - ybase, axis=0)
+            blk = pltpu.roll(blk, bx - xbase, axis=1)
+            cur = buf[pl.ds(ybase, 2 * CHUNK_H), pl.ds(xbase, 4 * CHUNK_W)]
+            buf[pl.ds(ybase, 2 * CHUNK_H),
+                pl.ds(xbase, 4 * CHUNK_W)] = merge(cur, blk)
+
+        def place3(ch, by, bx, block):
+            ybase = (by // CHUNK_H) * CHUNK_H
+            xbase = (bx // (2 * CHUNK_W)) * (2 * CHUNK_W)
+            blk = jnp.pad(block, ((0, CHUNK_H), (0, 2 * CHUNK_W)),
+                          constant_values=0.0)
+            blk = pltpu.roll(blk, by - ybase, axis=0)
+            blk = pltpu.roll(blk, bx - xbase, axis=1)
+            cur = acc_buf[ch, pl.ds(ybase, 2 * CHUNK_H),
+                          pl.ds(xbase, 4 * CHUNK_W)]
+            acc_buf[ch, pl.ds(ybase, 2 * CHUNK_H),
+                    pl.ds(xbase, 4 * CHUNK_W)] = cur + blk
+
+        def window_loop(j, body):
+            cid, base_dy, base_dx, y_cnt, xw_cnt = chunk_meta(j)
+            py_base = (cid % per_grid) // wc * CHUNK_H + base_dy - toy
+            px_base = (cid % wc) * CHUNK_W + base_dx - tox
+            dly_lo = jnp.maximum(0, -CHUNK_H + 1 - py_base)
+            dly_hi = jnp.minimum(y_cnt - 1, rgh - 1 - py_base)
+            xw_lo = jnp.maximum(0, (-2 * CHUNK_W - px_base) // BAND_W + 1)
+            xw_hi = jnp.minimum(xw_cnt - 1, (rgw - 1 - px_base) // BAND_W)
+
+            def xw_body(xw, _):
+                px = px_base + xw * BAND_W
+
+                def y_body(dly, __):
+                    body(dly, py_base + dly, px, xw * BAND_W)
+                    return 0
+
+                lax.fori_loop(dly_lo, dly_hi + 1, y_body, 0)
+                return 0
+
+            lax.fori_loop(xw_lo, xw_hi + 1, xw_body, 0)
+
+        # ---- pass A + degrid: once per tile, persists across groups ----
+        @pl.when(g == 0)
+        def _():
+            def zee_chunk(slot, j):
+                rdyi, rdxi, fx, fy, kk = chunk_fields(slot)
+                rdyn = rdyi + (fy > 0.5)
+                rdxn = rdxi + (fx > 0.5)
+
+                def body(dly, py, px, xs):
+                    rdl = rdxn - xs
+                    my = rdyn == dly
+                    band = jnp.full((CHUNK_H, 2 * CHUNK_W), _BIG,
+                                    jnp.float32)
+                    for s in range(BAND_W):
+                        vals = jnp.where(my & (rdl == s), kk, _BIG)
+                        band = jnp.minimum(band,
+                                           _shift_band(vals, s, _BIG))
+                    place2(zee_buf, py + PAD_YW, px + PAD_XW, band,
+                           jnp.minimum, _BIG)
+
+                window_loop(j, body)
+
+            zee_buf[:, :] = jnp.zeros((bh, bw), jnp.float32)
+            stream(zee_chunk, with_payload=False)
+
+            zee = zee_buf[:, :]
+            by_iota = lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+            bx_iota = lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+            gy_img = by_iota - PAD_YW + toy
+            gx_img = bx_iota - PAD_XW + tox
+            inimg = ((gy_img >= 0) & (gy_img < height) & (gx_img >= 0)
+                     & (gx_img < width))
+            zee_buf[:, :] = _degrid_zee(zee, inimg, bh, bw)
+
+        # ---- pass B: this group's planes only ----
+        acc_buf[:, :, :] = jnp.zeros((_GRP, bh, bw), jnp.float32)
+
+        def acc_chunk(slot, j):
+            rdyi, rdxi, fx, fy, kk = chunk_fields(slot)
+
+            def body(dly, py, px, xs):
+                rdl = rdxi - xs
+                wy = ((rdyi == dly).astype(jnp.float32) * (1.0 - fy)
+                      + (rdyi == dly - 1).astype(jnp.float32) * fy)
+
+                by = py + PAD_YW
+                bx = px + PAD_XW
+                ybase = (by // CHUNK_H) * CHUNK_H
+                xbase = (bx // (2 * CHUNK_W)) * (2 * CHUNK_W)
+                zwin = zee_buf[pl.ds(ybase, 2 * CHUNK_H),
+                               pl.ds(xbase, 4 * CHUNK_W)]
+                zwin = pltpu.roll(zwin, -(by - ybase), axis=0)
+                zband = pltpu.roll(zwin, -(bx - xbase),
+                                   axis=1)[:CHUNK_H, :2 * CHUNK_W]
+
+                bands = [jnp.zeros((CHUNK_H, 2 * CHUNK_W), jnp.float32)
+                         for _ in range(_GRP)]
+                for s in range(BAND_W):
+                    wx = ((rdl == s).astype(jnp.float32) * (1.0 - fx)
+                          + (rdl == s - 1).astype(jnp.float32) * fx)
+                    zs = zband[:, s:s + CHUNK_W]
+                    vis = kk <= zs + 1.0
+                    w = jnp.where(vis, wy * wx, 0.0)
+                    for p in range(_GRP):
+                        pay = rec_vmem[slot,
+                                       geom_rows + p * CHUNK_H:
+                                       geom_rows + (p + 1) * CHUNK_H, :]
+                        bands[p] = bands[p] + _shift_band(w * pay, s, 0.0)
+                for p in range(_GRP):
+                    place3(p, by, bx, bands[p])
+
+            window_loop(j, body)
+
+        stream(acc_chunk, with_payload=True)
+
+        cp = pltpu.make_async_copy(
+            acc_buf.at[:, pl.ds(y0c, TILE_H), pl.ds(x0c, TILE_W)],
+            out_ref.at[t, g], out_sem)
+        cp.start()
+        cp.wait()
+
+    return kernel
+
+
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "capacity_factor",
                               "work_limit", "interpret"))
@@ -348,7 +584,13 @@ def render_grids_banded(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Render grid-structured clouds by banded static-residual splatting.
 
-    Same surface as splat_routed.render_grids_routed. Payload C <= 8.
+    Same surface as splat_routed.render_grids_routed. Payloads with more
+    than 8 channels take the wide kernel: the z-buffer is built once per
+    tile and payload planes stream through in groups of 8 (an extra grid
+    dimension), so cost grows linearly in C with no VMEM blow-up — this
+    is what makes the 68-channel inpainting-bootstrap render
+    (models/pointcloud_inpainting.py:201 in the reference) run on the
+    fast path instead of the routed one-hot kernel.
     Returns (rendered (1, H, W, C), existing (1, H, W, 1), overflow).
 
     ``work_limit`` bounds the in-kernel iteration count per chunk visit
@@ -364,9 +606,7 @@ def render_grids_banded(
         interpret = jax.default_backend() != "tpu"
     g, h, w = xyz.shape[0], xyz.shape[1], xyz.shape[2]
     c = data.shape[-1]
-    if c > 8:
-        raise ValueError("banded renderer supports payloads up to 8 "
-                         "channels; use the routed path for wide payloads")
+    wide = c > 8   # > 8 payload channels: group-streamed wide kernel
     if valid is None:
         valid = jnp.ones((g, h, w), xyz.dtype)
 
@@ -437,9 +677,16 @@ def render_grids_banded(
     pad_k = jnp.pad(keyp, padding, constant_values=_BIG)
     ones = ok.astype(jnp.float32)[..., None]
     pay = jnp.concatenate([data.astype(jnp.float32) * ones, ones], axis=-1)
-    pad_p = jnp.pad(pay, padding + ((0, 0),))
 
     d = c + 1
+    n_g = -(-d // _GRP)
+    if wide and n_g * _GRP > d:
+        # zero-pad payload planes to a whole number of groups
+        pay = jnp.concatenate(
+            [pay, jnp.zeros(pay.shape[:-1] + (n_g * _GRP - d,),
+                            jnp.float32)], axis=-1)
+    pad_p = jnp.pad(pay, padding + ((0, 0),))
+
     records = _pack_records_banded(rdy, rdx, pad_fx, pad_fy, pad_k, pad_p)
     nc = records.shape[0]
     rec_rows = records.shape[1]
@@ -461,34 +708,62 @@ def render_grids_banded(
         minu, maxu, minv, maxv, n_ty, n_tx, capacity, TILE_H, TILE_W)
     overflow = csr_overflow | jnp.any(overwork)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_ty, n_tx),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, rec_rows, CHUNK_W), jnp.float32),
-            pltpu.VMEM((_BH, _BW), jnp.float32),
-            pltpu.VMEM((d * _BH, _BW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    acc_flat = pl.pallas_call(
-        _build_banded_kernel(d, height, width, nc_y * nc_x, nc_x),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, d * _BH, _BW), jnp.float32),
-        interpret=interpret,
-    )(offsets, chunk_ids, jnp.take(meta1, chunk_ids),
-      jnp.take(meta2, chunk_ids), records)
+    if wide:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_ty, n_tx, n_g),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, (5 + _GRP) * CHUNK_H, CHUNK_W),
+                           jnp.float32),
+                pltpu.VMEM((_BHW, _BWW), jnp.float32),
+                pltpu.VMEM((_GRP, _BHW, _BWW), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        cores = pl.pallas_call(
+            _build_banded_wide_kernel(n_g, height, width, nc_y * nc_x,
+                                      nc_x),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((t, n_g, _GRP, TILE_H, TILE_W),
+                                           jnp.float32),
+            interpret=interpret,
+        )(offsets, chunk_ids, jnp.take(meta1, chunk_ids),
+          jnp.take(meta2, chunk_ids), records)
+        img = cores.reshape(n_ty, n_tx, n_g * _GRP, TILE_H, TILE_W)
+        img = jnp.transpose(img, (0, 3, 1, 4, 2)).reshape(
+            n_ty * TILE_H, n_tx * TILE_W, n_g * _GRP)[:height, :width, :d]
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_ty, n_tx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, rec_rows, CHUNK_W), jnp.float32),
+                pltpu.VMEM((_BH, _BW), jnp.float32),
+                pltpu.VMEM((d * _BH, _BW), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        acc_flat = pl.pallas_call(
+            _build_banded_kernel(d, height, width, nc_y * nc_x, nc_x),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((t, d * _BH, _BW), jnp.float32),
+            interpret=interpret,
+        )(offsets, chunk_ids, jnp.take(meta1, chunk_ids),
+          jnp.take(meta2, chunk_ids), records)
 
-    # ---- epilogue: crop each tile's core, normalize ----
-    acc = acc_flat.reshape(n_ty, n_tx, d, _BH, _BW)
-    y0c = PAD_Y + _HALO_LO
-    x0c = PAD_X + _HALO_LO
-    core = acc[:, :, :, y0c:y0c + TILE_H, x0c:x0c + TILE_W]
-    img = jnp.transpose(core, (0, 3, 1, 4, 2)).reshape(
-        n_ty * TILE_H, n_tx * TILE_W, d)[:height, :width]
+        # ---- epilogue: crop each tile's core, normalize ----
+        acc = acc_flat.reshape(n_ty, n_tx, d, _BH, _BW)
+        y0c = PAD_Y + _HALO_LO
+        x0c = PAD_X + _HALO_LO
+        core = acc[:, :, :, y0c:y0c + TILE_H, x0c:x0c + TILE_W]
+        img = jnp.transpose(core, (0, 3, 1, 4, 2)).reshape(
+            n_ty * TILE_H, n_tx * TILE_W, d)[:height, :width]
 
     rendered = img[..., :c] / (img[..., c:] + 1e-7)
     existing = img[..., c]

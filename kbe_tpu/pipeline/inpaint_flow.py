@@ -81,10 +81,11 @@ def pointcloud_inpainting(
     def render_with(context_fn):
         context = context_fn(image_n, disp_n)
         payload = jnp.concatenate([image_n, disp_n, context], axis=-1)
-        # the cloud is the single pixel grid: the routed renderer carries
-        # the full 68-channel payload in one pass (overflow is out of
-        # reach for a one-grid bootstrap shift; 'clip' keeps the scatter
-        # graph out of the compiled program)
+        # the cloud is the single pixel grid (overflow is out of reach
+        # for a one-grid bootstrap shift; 'clip' keeps the scatter graph
+        # out of the compiled program). 'banded' streams the 68-channel
+        # payload through the wide banded kernel in groups of 8 —
+        # much faster than the routed one-hot pass it replaces.
         if splat_method in ("scatter", "sorted"):
             from kbe_tpu.ops.splat import render_pointcloud
 
@@ -92,6 +93,12 @@ def pointcloud_inpainting(
                 (points + shift).reshape(1, -1, 3),
                 payload.reshape(1, h * w, -1), h, w, focal,
                 camera.baseline, method=splat_method)
+        elif splat_method == "banded":
+            from kbe_tpu.ops.splat_banded import render_grids_fast_banded
+
+            render, weight = render_grids_fast_banded(
+                (points + shift).reshape(1, h, w, 3),
+                payload.reshape(1, h, w, -1), h, w, focal, camera.baseline)
         else:
             render, weight = render_grids_fast(
                 (points + shift).reshape(1, h, w, 3),

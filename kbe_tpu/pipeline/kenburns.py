@@ -253,6 +253,7 @@ def build_effect_fn(
                     effect.validity_threshold,
                     splat_method=("scatter" if splat in ("scatter",
                                                          "sorted")
+                                  else "banded" if splat == "banded"
                                   else "routed"))
                 grids_xyz.append(inp["points"].reshape(height, width, 3))
                 grids_data.append(jnp.concatenate(

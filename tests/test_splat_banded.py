@@ -119,3 +119,33 @@ def test_banded_overflow_falls_back_to_scatter():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
                                atol=2e-5)
+
+
+def test_banded_wide_payload_matches_scatter():
+    # > 8 payload channels take the wide kernel: per-tile z-buffer built
+    # once at group 0, payload planes streamed in groups of 8 (the
+    # 68-channel inpaint-bootstrap path). Two groups + padded tail here.
+    h, w, focal, baseline = 48, 256, 100.0, 40.0
+    xyz, data4, valid = _scene(h, w, focal, seed=5)
+    rng = np.random.default_rng(5)
+    g = xyz.shape[0]
+    data = jnp.asarray(
+        rng.uniform(0, 1, (g, h, w, 12)).astype(np.float32))
+
+    want_r, want_e = _scatter(xyz, data, valid, h, w, focal, baseline)
+    got_r, got_e, ovf = render_grids_banded(xyz, data, h, w, focal,
+                                            baseline, valid=valid)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=2e-5)
+
+    # wide and narrow paths agree exactly on the shared first channels
+    # given identical z-buffers: compare channel 0 rendered both ways
+    got_r4, got_e4, _ = render_grids_banded(xyz, data[..., :4], h, w,
+                                            focal, baseline, valid=valid)
+    np.testing.assert_allclose(np.asarray(got_r[..., :4]),
+                               np.asarray(got_r4), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(got_e4),
+                               atol=2e-5)
