@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from kbe_tpu.config import CameraConfig
 from kbe_tpu.ops.filters import median_filter, validity_mask
+from kbe_tpu.ops.layout import relayout
 from kbe_tpu.ops.geometry import depth_to_points, disparity_to_depth
 from kbe_tpu.ops.splat_routed import render_grids_fast
 from kbe_tpu.models.layers import denormalize_sample, normalize_sample
@@ -56,6 +57,7 @@ def pointcloud_inpainting(
     focal,
     validity_threshold: float = 0.03,
     splat_method: str = "routed",
+    relayout_context: bool = False,
 ):
     """Inpaint the disocclusions revealed by ``shift``.
 
@@ -80,6 +82,11 @@ def pointcloud_inpainting(
 
     def render_with(context_fn):
         context = context_fn(image_n, disp_n)
+        if relayout_context:
+            # conv-output layouts make the renderers' records pack
+            # pathological on TPU (543 ms -> 71 ms at 1024^2, see
+            # ops/layout.py); lossless for bf16-mode context nets
+            context = relayout(context)
         payload = jnp.concatenate([image_n, disp_n, context], axis=-1)
         # the cloud is the single pixel grid (overflow is out of reach
         # for a one-grid bootstrap shift; 'clip' keeps the scatter graph

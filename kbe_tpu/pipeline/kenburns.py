@@ -254,7 +254,8 @@ def build_effect_fn(
                     splat_method=("scatter" if splat in ("scatter",
                                                          "sorted")
                                   else "banded" if splat == "banded"
-                                  else "routed"))
+                                  else "routed"),
+                    relayout_context=(dtype == jnp.bfloat16))
                 grids_xyz.append(inp["points"].reshape(height, width, 3))
                 grids_data.append(jnp.concatenate(
                     [inp["image"][0], inp["disparity"][0], inp["depth"][0]],

@@ -315,3 +315,14 @@ def test_sorted_renderer_giant_segment_precision():
                                 focal, baseline, method="sorted")
     assert abs(float(wt[0, 1, 1, 0]) - n) < n * 1e-6
     assert abs(float(img[0, 1, 1, 0]) - 0.5) < 1e-4
+
+
+def test_relayout_identity_for_bf16_values():
+    from kbe_tpu.ops.layout import relayout
+
+    rng = np.random.default_rng(0)
+    x32 = rng.uniform(-3, 3, (2, 16, 24, 68)).astype(np.float32)
+    x = jnp.asarray(x32).astype(jnp.bfloat16).astype(jnp.float32)
+    got = relayout(x)
+    assert got.shape == x.shape and got.dtype == x.dtype
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(x))

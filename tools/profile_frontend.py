@@ -94,7 +94,8 @@ def main():
 
     f_boot = jax.jit(lambda im, dsp: pointcloud_inpainting(
         models, im, dsp, shift, camera, camera.focal,
-        effect.validity_threshold, splat_method="routed"))
+        effect.validity_threshold, splat_method="banded",
+        relayout_context=(dtype == jnp.bfloat16)))
     print(f"inpaint boot:    {timeit(f_boot, image, disparity):8.2f} ms")
 
 
