@@ -60,8 +60,8 @@ CHUNK_W = 128
 # Tile/band geometry, overridable from the environment for hardware
 # sweeps (read once at import; constants are baked into the kernels at
 # trace time). Defaults are the measured-best v5e configuration.
-TILE_H = int(os.environ.get("KBE_TILE_H", "32"))
-TILE_W = int(os.environ.get("KBE_TILE_W", "256"))
+TILE_H = int(os.environ.get("KBE_TILE_H", "64"))
+TILE_W = int(os.environ.get("KBE_TILE_W", "512"))
 _HALO_LO = 3
 _HALO_HI = 4
 BAND_W = int(os.environ.get("KBE_BAND_W", "8"))
@@ -72,18 +72,18 @@ PAD_Y = CHUNK_H        # buffer spill margins for dynamic placement
 PAD_X = 2 * CHUNK_W
 _RSENT = 20000         # invalid-point residual sentinel
 
-_RGH = TILE_H + _HALO_LO + _HALO_HI          # 39
-_RGW = TILE_W + _HALO_LO + _HALO_HI          # 263
-_BH = _ceil_to(_RGH + PAD_Y + CHUNK_H, CHUNK_H)       # 56
-_BW = _ceil_to(_RGW + PAD_X + 2 * CHUNK_W, 2 * CHUNK_W)  # 1024
+_RGH = TILE_H + _HALO_LO + _HALO_HI
+_RGW = TILE_W + _HALO_LO + _HALO_HI
+_BH = _ceil_to(_RGH + PAD_Y + CHUNK_H, CHUNK_H)
+_BW = _ceil_to(_RGW + PAD_X + 2 * CHUNK_W, 2 * CHUNK_W)
 
 # Wide-payload variant: pads sized so the tile core starts at sublane 16
 # and lane 512 — the per-(tile, group) core DMA out is then aligned to
 # Mosaic's (8, 128) VMEM tiling.
 PAD_YW = 2 * CHUNK_H - _HALO_LO                        # 13
 PAD_XW = 4 * CHUNK_W - _HALO_LO                        # 509
-_BHW = _ceil_to(_RGH + PAD_YW + CHUNK_H, CHUNK_H)      # 64
-_BWW = _ceil_to(_RGW + PAD_XW + 2 * CHUNK_W, 2 * CHUNK_W)  # 1280
+_BHW = _ceil_to(_RGH + PAD_YW + CHUNK_H, CHUNK_H)
+_BWW = _ceil_to(_RGW + PAD_XW + 2 * CHUNK_W, 2 * CHUNK_W)
 _GRP = 8               # payload planes accumulated per group pass
 
 

@@ -105,15 +105,19 @@ def test_banded_work_limit_bounds_incoherent_chunks():
 
 
 def test_banded_overflow_falls_back_to_scatter():
+    # work_limit=1 flags every non-empty chunk regardless of the tile
+    # configuration (capacity overflow and overwork share the flag and
+    # the fallback surface), so the scatter fallback must carry the
+    # whole render
     h, w, focal, baseline = 48, 256, 100.0, 40.0
     xyz, data, valid = _scene(h, w, focal, seed=1)
     _, _, ovf = render_grids_banded(xyz, data, h, w, focal, baseline,
-                                    valid=valid, capacity_factor=1)
+                                    valid=valid, work_limit=1)
     assert bool(ovf)
     want_r, want_e = _scatter(xyz, data, valid, h, w, focal, baseline)
     got_r, got_e = render_grids_fast_banded(xyz, data, h, w, focal,
                                             baseline, valid=valid,
-                                            capacity_factor=1,
+                                            work_limit=1,
                                             fallback="scatter")
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
                                atol=2e-5)
