@@ -35,6 +35,7 @@ are bit-identical to the full fill because march *sources* are unchanged.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -46,8 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kbe_tpu.ops.discfill import _offset_tables
 
-TILE_H = 16
-TILE_W = 256
+# Tile geometry, env-overridable for hardware sweeps (read once at
+# import; baked into the kernels at trace time).
+TILE_H = int(os.environ.get("KBE_FILL_TILE_H", "16"))
+TILE_W = int(os.environ.get("KBE_FILL_TILE_W", "256"))
 _KCHUNK = 4  # ray steps folded into one while-loop iteration
 
 

@@ -36,3 +36,4 @@ def relayout(x: jax.Array) -> jax.Array:
     out = jnp.einsum("...c,cf->...f", x.astype(jnp.bfloat16), eye,
                      preferred_element_type=jnp.float32)
     return out.astype(x.dtype)
+

@@ -326,3 +326,4 @@ def test_relayout_identity_for_bf16_values():
     got = relayout(x)
     assert got.shape == x.shape and got.dtype == x.dtype
     np.testing.assert_array_equal(np.asarray(got), np.asarray(x))
+
