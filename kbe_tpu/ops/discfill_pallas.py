@@ -443,6 +443,133 @@ def _build_gated_kernel(steps, wh, ww, c, roi, n_tx):
     return kernel
 
 
+def _build_gated_flagging_kernel(steps, wh, ww, c, roi, n_tx):
+    """Gated fused fill that ALSO reports per-slot unresolved flags —
+    the phase-1 kernel of the hole-tile-gated schedule. Identical tile
+    work to _build_fused_kernel, but only over the scalar-prefetched
+    hole-tile list: hole-free tiles (the vast majority of a rendered
+    frame once the fill ROI is applied) never DMA a window or run the
+    march/selection arithmetic at all."""
+
+    def kernel(oy_ref, ox_ref, ids_ref, cnt_ref, planes_hbm, out_ref,
+               flag_ref, win, cap_scr, out_scr, flag_scr, win_sem, out_sem,
+               flag_sem):
+        i = pl.program_id(0)
+
+        @pl.when(i < cnt_ref[0])
+        def _():
+            tid = ids_ref[i]
+            ty = tid // n_tx
+            tx = tid - ty * n_tx
+
+            cp = pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(ty * TILE_H, wh),
+                              pl.ds(tx * TILE_W, ww)],
+                win, win_sem)
+            cp.start()
+            cp.wait()
+
+            center = win[0, steps:steps + TILE_H, steps:steps + TILE_W]
+            hole = (center == 0.0).astype(jnp.int32)
+            hole = _roi_hole_mask(hole, ty * TILE_H, tx * TILE_W, roi)
+
+            rows, unresolved = _tile_fill_core(oy_ref, ox_ref, win,
+                                               cap_scr, steps, c, hole)
+            for ch in range(c):
+                out_scr[pl.ds(ch * TILE_H, TILE_H), :] = rows[ch]
+            flag_scr[:, :] = jnp.full((8, 128), jnp.max(unresolved),
+                                      jnp.int32)
+
+            cp2 = pltpu.make_async_copy(out_scr, out_ref.at[i], out_sem)
+            cp2.start()
+            cp3 = pltpu.make_async_copy(flag_scr, flag_ref.at[i], flag_sem)
+            cp3.start()
+            cp2.wait()
+            cp3.wait()
+
+    return kernel
+
+
+def _hole_tile_order(depth, roi, h, w, n_ty, n_tx):
+    """Hole-tile list for the gated phase-1: (order (T,) i32 — flagged
+    tiles first in tile order, count). Hole definition matches the
+    kernels': in-image invalid (depth <= 0) pixels inside the ROI."""
+    hole = depth[..., 0] <= 0.0
+    if roi is not None:
+        y0, y1, x0, x1 = roi
+        yy = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        hole = hole & ((yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1))
+    hp = _ceil_to(h, TILE_H)
+    wp = _ceil_to(w, TILE_W)
+    pad = jnp.zeros((hp, wp), jnp.bool_).at[:h, :w].set(hole)
+    flags = jnp.any(pad.reshape(n_ty, TILE_H, n_tx, TILE_W), axis=(1, 3))
+    flags_flat = flags.reshape(-1)
+    order = jnp.argsort(jnp.logical_not(flags_flat)).astype(jnp.int32)
+    return order, jnp.sum(flags_flat.astype(jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "interpret", "roi"))
+def _fill_single_gated(image, depth, steps, interpret, roi=None):
+    """Hole-tile-gated phase-1 fill.
+
+    Returns (filled (H, W, C), unresolved per-tile flags (n_ty * n_tx,)).
+    Bit-identical to _fill_single_fused: untouched tiles have no in-ROI
+    holes, so their fill output equals the input image.
+    """
+    h, w, c = image.shape
+    hp = _ceil_to(h, TILE_H)
+    wp = _ceil_to(w, TILE_W)
+    n_ty = hp // TILE_H
+    n_tx = wp // TILE_W
+    t = n_ty * n_tx
+    planes, wh, ww = _build_planes(image, depth, steps, hp, wp, n_ty, n_tx)
+    ox_np, oy_np = _offset_tables(steps)
+    order, count = _hole_tile_order(depth, roi, h, w, n_ty, n_tx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(t,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2 + c, wh, ww), jnp.float32),
+            pltpu.VMEM((2 * (1 + c) * TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((c * TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out, slot_flags = pl.pallas_call(
+        _build_gated_flagging_kernel(steps, wh, ww, c, roi, n_tx),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, c * TILE_H, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((t, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(oy_np), jnp.asarray(ox_np), order, count.reshape(1),
+      planes)
+
+    # scatter filled tiles + flags over the input (inactive slots drop)
+    tiles2 = jnp.transpose(out.reshape(t, c, TILE_H, TILE_W), (0, 2, 3, 1))
+    pad1 = jnp.zeros((hp, wp, c), image.dtype).at[:h, :w].set(image)
+    tiled1 = jnp.transpose(
+        pad1.reshape(n_ty, TILE_H, n_tx, TILE_W, c),
+        (0, 2, 1, 3, 4)).reshape(t, TILE_H, TILE_W, c)
+    slot = jnp.arange(t, dtype=jnp.int32)
+    scatter_ids = jnp.where(slot < count, order, t)
+    merged = tiled1.at[scatter_ids].set(tiles2, mode="drop")
+    flags = jnp.zeros((t,), jnp.int32).at[scatter_ids].set(
+        slot_flags[:, 0, 0], mode="drop")
+    return (_tiles_to_image(merged, n_ty, n_tx, c, h, w),
+            flags.reshape(n_ty, n_tx) > 0)
+
+
 def _build_planes(image, depth, steps, hp, wp, n_ty, n_tx):
     """Padded (2+c, rows, lanes) planes so the window DMA of any tile is a
     plain dynamic slice: 0 validity (-1 outside, 0 hole, 1 valid),
@@ -602,7 +729,7 @@ def fill_disocclusion_pallas(image: jax.Array, depth: jax.Array,
         if phase1_steps <= 0 or phase1_steps >= steps:
             return _fill_single_pallas(img_b, depth_b, steps, interpret,
                                        roi)
-        filled1, flags = _fill_single_fused(img_b, depth_b, phase1_steps,
+        filled1, flags = _fill_single_gated(img_b, depth_b, phase1_steps,
                                             interpret, roi)
         return lax.cond(
             jnp.any(flags),

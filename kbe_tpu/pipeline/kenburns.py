@@ -134,7 +134,6 @@ def build_effect_fn(
     pretrained_refine: bool = False,
     partial_inpainting: bool = False,
     dtype: Any = jnp.float32,
-    frame_chunk: int = 5,
     with_stats: bool = False,
 ) -> Callable:
     """Build the jittable ``effect(params, image) -> frames`` function.
@@ -266,34 +265,46 @@ def build_effect_fn(
         cloud_xyz = jnp.stack(grids_xyz)      # (G, H, W, 3)
         cloud_data = jnp.stack(grids_data)    # (G, H, W, 5)
         cloud_valid = jnp.stack(grids_valid)  # (G, H, W)
-        n_grids = cloud_xyz.shape[0]
+
+        # pose-invariant frame payload (rgb + depth) and, for the default
+        # banded path, the posed renderer's static records — packed ONCE
+        # here instead of per frame (splat_posed module doc: ~250 MB of
+        # per-frame record-pack HBM traffic hoisted out of the loop)
+        frame_data = jnp.concatenate(
+            [cloud_data[..., 0:3], cloud_data[..., 4:5]], axis=-1)
+        scene = None
+        if splat == "banded":
+            from kbe_tpu.ops.splat_posed import prepare_banded_scene
+
+            scene = prepare_banded_scene(cloud_xyz, frame_data, cloud_valid)
 
         # --- pose loop: render -> fill -> quantize -> crop -> resize
         def render_frame(args):
             step, focal = args
             shift = compute_pose_shift(step, focal, anchor, zoom, camera,
                                        width, height)
-            xyz = apply_shift(cloud_xyz, shift)
-            data = jnp.concatenate(
-                [cloud_data[..., 0:3], cloud_data[..., 4:5]], axis=-1)
+            data = frame_data
             overflow = jnp.bool_(False)
             if splat == "banded":
-                from kbe_tpu.ops.splat_banded import render_grids_banded
+                from kbe_tpu.ops.splat_posed import render_scene_posed
                 from kbe_tpu.ops.splat import render_pointcloud as rp
 
-                render, weight, overflow = render_grids_banded(
-                    xyz, data, height, width, focal, camera.baseline,
-                    valid=cloud_valid)
+                render, weight, overflow = render_scene_posed(
+                    scene, shift, focal, height, width, camera.baseline)
                 if effect.splat_fallback == "scatter":
+                    def _scatter_fb(_):
+                        xyz_fb = apply_shift(cloud_xyz, shift)
+                        return rp(xyz_fb.reshape(1, -1, 3),
+                                  data.reshape(1, -1, 4), height, width,
+                                  focal, camera.baseline,
+                                  valid=cloud_valid.reshape(1, -1),
+                                  method="scatter")
+
                     render, weight = jax.lax.cond(
-                        overflow,
-                        lambda _: rp(xyz.reshape(1, -1, 3),
-                                     data.reshape(1, -1, 4), height, width,
-                                     focal, camera.baseline,
-                                     valid=cloud_valid.reshape(1, -1),
-                                     method="scatter"),
+                        overflow, _scatter_fb,
                         lambda _: (render, weight), operand=None)
             elif splat == "delta":
+                xyz = apply_shift(cloud_xyz, shift)
                 from kbe_tpu.ops.splat_delta import render_grids_delta, \
                     render_grids_fast_delta
 
@@ -304,6 +315,7 @@ def build_effect_fn(
                     xyz, data, height, width, focal, camera.baseline,
                     valid=cloud_valid, fallback=effect.splat_fallback)
             elif splat == "routed":
+                xyz = apply_shift(cloud_xyz, shift)
                 from kbe_tpu.ops.splat_routed import render_grids_fast, \
                     render_grids_routed
 
@@ -314,12 +326,14 @@ def build_effect_fn(
                     xyz, data, height, width, focal, camera.baseline,
                     valid=cloud_valid, fallback=effect.splat_fallback)
             elif splat == "pallas":
+                xyz = apply_shift(cloud_xyz, shift)
                 from kbe_tpu.ops.splat_pallas import render_grids_pallas
 
                 render, weight = render_grids_pallas(
                     xyz, data, height, width, focal, camera.baseline,
                     valid=cloud_valid, margin=margin)
             else:
+                xyz = apply_shift(cloud_xyz, shift)
                 render, weight = render_pointcloud(
                     xyz.reshape(1, -1, 3), data.reshape(1, -1, 4), height,
                     width, focal, camera.baseline,
@@ -349,9 +363,7 @@ def build_effect_fn(
         xs = (jnp.asarray(steps, jnp.float32), jnp.asarray(focals))
         # The Pallas kernels (renderers AND the disocclusion fill) cannot
         # run under vmap (ANY-space refs / scalar prefetch), and the fill
-        # is in the frame body on every path — so frames always go
-        # sequentially. frame_chunk is kept in the signature for
-        # compatibility but no longer batches.
+        # is in the frame body on every path — so frames go sequentially.
         frames, overflows = jax.lax.map(render_frame, xs, batch_size=None)
         if with_stats:
             return frames, {"splat_overflow_frames":
@@ -377,7 +389,6 @@ class KenBurnsPipeline:
     pretrained_refine: bool = False
     partial_inpainting: bool = False
     dtype: Any = jnp.float32
-    frame_chunk: int = 5
     _cache: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
@@ -427,8 +438,7 @@ class KenBurnsPipeline:
         if key not in self._cache:
             fn = build_effect_fn(
                 height, width, zoom, self.camera, self.effect,
-                self.pretrained_refine, self.partial_inpainting, self.dtype,
-                self.frame_chunk)
+                self.pretrained_refine, self.partial_inpainting, self.dtype)
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 

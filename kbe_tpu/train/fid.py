@@ -19,13 +19,15 @@ from kbe_tpu.models.inception import InceptionV3Features
 
 
 def preprocess_images(images: np.ndarray) -> np.ndarray:
-    """(N, H, W, 3) float [0, 1] -> (N, 299, 299, 3) (utils/fid.py:169-194
-    resizes with cv2; we use jax.image for device-side resize)."""
-    import jax.image
+    """(N, H, W, 3) float [0, 1] -> (N, 299, 299, 3).
+
+    The reference resizes with cv2.resize INTER_LINEAR (utils/fid.py:
+    169-194); ops/resize.resize_bilinear reproduces cv2's sampling
+    (area-offset half-pixel centers, cv2-parity-tested), device-side."""
+    from kbe_tpu.ops.resize import resize_bilinear
 
     x = jnp.asarray(images, jnp.float32)
-    n = x.shape[0]
-    return np.asarray(jax.image.resize(x, (n, 299, 299, 3), "bilinear"))
+    return np.asarray(resize_bilinear(x, 299, 299))
 
 
 class FID:

@@ -85,7 +85,9 @@ def _scene_image(h, w, seed=3):
     return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
-def test_full_pipeline_ssim_vs_reference_oracle(patched_reference):
+def _oracle_compare(patched_reference, mode="3d", h=192, w=192, steps=3):
+    """Run both pipelines in ``mode`` ('3d' | 'dolly' | '2d') and return
+    per-frame SSIM scores."""
     ref_est, ref_ref, ref_inp, ref_common = patched_reference
 
     import os
@@ -99,11 +101,12 @@ def test_full_pipeline_ssim_vs_reference_oracle(patched_reference):
                                              convert_inpaint,
                                              convert_refine)
 
-    h = w = 192
-    steps = 3
+    dolly = mode == "dolly"
+    two_d = mode == "2d"
     margin = 64
     camera = CameraConfig(focal=float(w) / 2.0, baseline=40.0)
-    zoom = ZoomSettings.default_3d(w, h)
+    zoom = (ZoomSettings.default_dolly(w, h) if dolly
+            else ZoomSettings.default_3d(w, h))
 
     # ---- shared seeded torch nets -> converted Flax params
     torch.manual_seed(5)
@@ -133,7 +136,8 @@ def test_full_pipeline_ssim_vs_reference_oracle(patched_reference):
 
     # ---- our pipeline: one jitted program
     effect = EffectConfig(num_steps=steps, depth_range_margin=margin,
-                          splat_method="scatter", fill_impl="xla")
+                          splat_method="scatter", fill_impl="xla",
+                          dolly=dolly, two_d=two_d)
     fn = jax.jit(build_effect_fn(h, w, zoom, camera, effect))
     pp = PipelineParams(semantics=sem_params, disparity=params["d"],
                         refine=params["r"], context=ctx_params,
@@ -157,6 +161,8 @@ def test_full_pipeline_ssim_vs_reference_oracle(patched_reference):
         sem_feats = sem_def.apply(sem_params, jnp.asarray(
             np.transpose(resized.numpy(), (0, 2, 3, 1))))
         disp = net_d(resized, _nchw(np.asarray(sem_feats)))
+        if two_d:
+            disp = torch.ones_like(disp)   # pipeline.py:75-76
         disp = net_r(img_t, disp)          # pipeline.py:78
         if disp.min() < 0.0:
             disp = disp - disp.min()       # :79-80
@@ -187,7 +193,7 @@ def test_full_pipeline_ssim_vs_reference_oracle(patched_reference):
         frames = ref_common.process_kenburns(
             {"dblSteps": np.linspace(0.0, 1.0, steps).tolist(),
              "objectFrom": zoom_from, "objectTo": zoom_to,
-             "boolInpaint": True, "dolly": False},
+             "boolInpaint": True, "dolly": dolly},
             object_common, net_i)
 
     oracle = np.stack(frames)
@@ -197,7 +203,34 @@ def test_full_pipeline_ssim_vs_reference_oracle(patched_reference):
         a = jnp.asarray(ours[i], jnp.float32)[None] / 255.0
         b = jnp.asarray(oracle[i], jnp.float32)[None] / 255.0
         scores.append(float(jnp.mean(ssim(a, b))))
+    return scores
+
+
+def _assert_ssim(scores, bound=0.99):
     mean_ssim = float(np.mean(scores))
     print("per-frame SSIM vs reference oracle:",
           [round(s, 4) for s in scores])
-    assert mean_ssim > 0.99, f"mean SSIM {mean_ssim:.4f} vs oracle"
+    assert mean_ssim > bound, f"mean SSIM {mean_ssim:.4f} vs oracle"
+
+
+def test_full_pipeline_ssim_vs_reference_oracle(patched_reference):
+    _assert_ssim(_oracle_compare(patched_reference, "3d"))
+
+
+def test_oracle_dolly_mode(patched_reference):
+    # dolly: per-step focal interpolation, inpainting skipped
+    # (utils/common.py:185-187,218-219,225-227)
+    _assert_ssim(_oracle_compare(patched_reference, "dolly"))
+
+
+def test_oracle_2d_mode(patched_reference):
+    # 2D KBE: disparity := ones before refinement (utils/pipeline.py:75-76)
+    _assert_ssim(_oracle_compare(patched_reference, "2d"))
+
+
+@pytest.mark.slow
+def test_oracle_3d_512(patched_reference):
+    # production-scale resolution, 2 poses (numpy simulator renders are
+    # the cost driver)
+    _assert_ssim(_oracle_compare(patched_reference, "3d", h=512, w=512,
+                                 steps=2))
