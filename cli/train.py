@@ -33,13 +33,18 @@ def build_parser():
                    choices=["none", "same", "other"])
     p.add_argument("--mask-loss-dataset", default=None)
     p.add_argument("--mask-source", default="depth",
-                   choices=["depth", "image"],
+                   choices=["depth", "image", "maskrcnn"],
                    help="instance-mask source for the mask loss: segment "
-                        "the GT disparity ('depth') or the image colors "
-                        "('image'). Replaces the reference's in-loop "
-                        "Mask-RCNN (training/train_depth.py:55,151-163), "
-                        "which needs torchvision weights unavailable "
-                        "offline.")
+                        "the GT disparity ('depth'), the image colors "
+                        "('image'), or run the TPU-native Mask-RCNN "
+                        "('maskrcnn', needs --maskrcnn-weights) — the "
+                        "reference's in-loop recipe "
+                        "(training/train_depth.py:55,151-163).")
+    p.add_argument("--maskrcnn-weights", default=None,
+                   help="torchvision maskrcnn_resnet50_fpn state-dict "
+                        "(.pth) converted on load by "
+                        "utils/torch_convert.convert_maskrcnn; required "
+                        "for --mask-source maskrcnn.")
     p.add_argument("--n-epochs", type=int, default=50)
     p.add_argument("--lr-estimation", type=float, default=1e-4)
     p.add_argument("--lr-refinement", type=float, default=1e-5)
@@ -77,6 +82,35 @@ def build_parser():
     return p
 
 
+def resolve_mask_source(args):
+    """'depth'/'image' pass through to KBEDataset's built-in segmenters;
+    'maskrcnn' loads converted torchvision weights and returns the
+    jitted instance-mask callable (reference recipe:
+    training/train_depth.py:55,151-163)."""
+    if args.mask_source != "maskrcnn":
+        return args.mask_source
+    if not args.maskrcnn_weights:
+        raise SystemExit("--mask-source maskrcnn requires "
+                         "--maskrcnn-weights <torchvision .pth>")
+    import jax
+    import numpy as np
+
+    from kbe_tpu.models.maskrcnn import MaskRCNN, maskrcnn_instance_masks
+    from kbe_tpu.utils.torch_convert import convert_maskrcnn
+
+    params = convert_maskrcnn(args.maskrcnn_weights)
+    module = MaskRCNN()
+    fn = jax.jit(lambda im: maskrcnn_instance_masks(params, im, module))
+
+    def source(image01, disparity=None):
+        masks = fn(image01[None] if image01.ndim == 3 else image01)
+        masks = np.asarray(masks[0] if image01.ndim == 3 else masks)
+        # keep KBEDataset's fixed mask capacity (top-scoring first)
+        return masks[:8]
+
+    return source
+
+
 def make_data(args, mode: str, camera):
     from kbe_tpu.train.data import KBEDataset, Prefetcher, synthetic_batches
 
@@ -104,8 +138,8 @@ def make_data(args, mode: str, camera):
     dataset = KBEDataset([parse_dataset(d) for d in args.dataset],
                          mode=ds_mode,
                          imagenet_path=args.mask_loss_dataset,
-                         mask_source=(args.mask_source if with_masks
-                                      else None))
+                         mask_source=(resolve_mask_source(args)
+                                      if with_masks else None))
     train_idx, val_idx = dataset.split()
     train_iter = Prefetcher(dataset.batches(train_idx, args.batch_size,
                                             epochs=args.n_epochs))

@@ -19,6 +19,7 @@ from kbe_tpu.models.discriminator import (
     PerceptualDiscriminator,
 )
 from kbe_tpu.models.vgg import VGG16Features
+from kbe_tpu.models.maskrcnn import MaskRCNN, maskrcnn_instance_masks
 
 __all__ = [
     "Basic",
@@ -38,4 +39,6 @@ __all__ = [
     "MultiScalePerceptualDiscriminator",
     "PerceptualDiscriminator",
     "VGG16Features",
+    "MaskRCNN",
+    "maskrcnn_instance_masks",
 ]

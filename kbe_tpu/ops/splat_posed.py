@@ -409,35 +409,35 @@ def _chunk_red(x, ok, red, fill):
     return red(x, axis=(2, 4)).reshape(-1)
 
 
+class PoseRouting(NamedTuple):
+    """Per-pose CSR routing + chunk meta for one camera pose."""
+
+    chunk_ids: jax.Array   # (capacity,)
+    offsets: jax.Array     # (T + 1,)
+    meta1: jax.Array       # (NC,) packed base_dy/base_dx
+    meta2: jax.Array       # (NC,) packed y_cnt/xw_cnt
+    overflow: jax.Array    # () bool
+
+
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "capacity_factor",
-                              "work_limit", "interpret"))
-def render_scene_posed(
+                              "work_limit"))
+def pose_routing(
     scene: BandedScene,
     shift: jax.Array,
     focal,
     height: int,
     width: int,
-    baseline,
     capacity_factor: int = 4,
     work_limit: int = 256,
-    interpret: bool | None = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Render a prepared scene at one camera pose.
-
-    Semantics == splat_banded.render_grids_banded(xyz + shift, ...) —
-    golden-tested against it. Returns (rendered (1, H, W, C),
-    existing (1, H, W, 1), overflow).
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+) -> PoseRouting:
+    """The per-pose XLA prepass: chunk displacement bounds -> meta packing
+    + CSR tile routing (separated from the kernel so it can be profiled
+    and batched over poses independently)."""
     px, py, pz, pv = scene.px, scene.py, scene.pz, scene.pv
     g, hp, wp = px.shape
-    c = scene.records.shape[1] // CHUNK_H - 4
-    d = c + 1
     sx, sy, sz = shift[0], shift[1], shift[2]
     focal = jnp.asarray(focal, jnp.float32)
-    fb = focal * jnp.asarray(baseline, jnp.float32)
 
     # --- per-pose bounds prepass (fused elementwise + chunk reductions);
     # the same expression tree as the kernel's chunk_fields, with a
@@ -492,12 +492,54 @@ def render_scene_posed(
     nc = scene.records.shape[0]
     n_ty = -(-height // TILE_H)
     n_tx = -(-width // TILE_W)
-    t = n_ty * n_tx
     capacity = int(capacity_factor) * nc
     chunk_ids, offsets, csr_overflow, _dropped = _build_csr(
         minu, maxu, minv, maxv, n_ty, n_tx, capacity, TILE_H, TILE_W)
     overflow = csr_overflow | jnp.any(overwork)
+    return PoseRouting(chunk_ids, offsets, meta1, meta2, overflow)
 
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "capacity_factor",
+                              "work_limit", "interpret"))
+def render_scene_posed(
+    scene: BandedScene,
+    shift: jax.Array,
+    focal,
+    height: int,
+    width: int,
+    baseline,
+    capacity_factor: int = 4,
+    work_limit: int = 256,
+    interpret: bool | None = None,
+    routing: PoseRouting | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Render a prepared scene at one camera pose.
+
+    Semantics == splat_banded.render_grids_banded(xyz + shift, ...) —
+    golden-tested against it. Returns (rendered (1, H, W, C),
+    existing (1, H, W, 1), overflow). ``routing`` lets a caller supply a
+    precomputed (possibly batched-over-poses) prepass.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    px = scene.px
+    g, hp, wp = px.shape
+    c = scene.records.shape[1] // CHUNK_H - 4
+    d = c + 1
+    sx, sy, sz = shift[0], shift[1], shift[2]
+    focal = jnp.asarray(focal, jnp.float32)
+    fb = focal * jnp.asarray(baseline, jnp.float32)
+
+    if routing is None:
+        routing = pose_routing(scene, shift, focal, height, width,
+                               capacity_factor, work_limit)
+    chunk_ids, offsets = routing.chunk_ids, routing.offsets
+    meta1, meta2, overflow = routing.meta1, routing.meta2, routing.overflow
+
+    n_ty = -(-height // TILE_H)
+    n_tx = -(-width // TILE_W)
+    t = n_ty * n_tx
     pose = jnp.stack([jnp.asarray(sx, jnp.float32),
                       jnp.asarray(sy, jnp.float32),
                       jnp.asarray(sz, jnp.float32), focal, fb])

@@ -405,6 +405,70 @@ def convert_inception(path_or_sd) -> Dict:
     return {"params": params}
 
 
+# --- Mask R-CNN (torchvision maskrcnn_resnet50_fpn; frozen BN) ------------
+# The reference uses the net frozen as a mask source for the depth mask
+# loss (training/train_depth.py:55,151-163). torchvision's backbone uses
+# FrozenBatchNorm2d, which folds into the convs exactly like eval-mode BN
+# (eps=0 in the torchvision releases contemporary with the reference).
+
+_RESNET50_BLOCKS = (3, 4, 6, 3)
+
+
+def convert_maskrcnn(path_or_sd, eps: float = 0.0) -> Dict:
+    """torchvision ``maskrcnn_resnet50_fpn`` state dict ->
+    models/maskrcnn.MaskRCNN params (BN folded)."""
+    sd = (path_or_sd if isinstance(path_or_sd, dict)
+          else _load_state_dict(path_or_sd))
+
+    def fold(conv_key, bn_key):
+        return _conv_bn_folded(sd, conv_key, bn_key, eps=eps)
+
+    def dense(key):
+        return {"kernel": np.transpose(sd[f"{key}.weight"], (1, 0)),
+                "bias": sd[f"{key}.bias"]}
+
+    backbone: Dict = {"stem": fold("backbone.body.conv1",
+                                   "backbone.body.bn1")}
+    for s, blocks in enumerate(_RESNET50_BLOCKS):
+        for b in range(blocks):
+            key = f"backbone.body.layer{s + 1}.{b}"
+            blk = {f"conv{i}": fold(f"{key}.conv{i}", f"{key}.bn{i}")
+                   for i in (1, 2, 3)}
+            if f"{key}.downsample.0.weight" in sd:
+                blk["downsample"] = fold(f"{key}.downsample.0",
+                                         f"{key}.downsample.1")
+            backbone[f"layer{s + 1}_{b}"] = blk
+    for i in range(4):
+        backbone[f"fpn_inner{i}"] = _conv(
+            sd, f"backbone.fpn.inner_blocks.{i}")
+        backbone[f"fpn_layer{i}"] = _conv(
+            sd, f"backbone.fpn.layer_blocks.{i}")
+
+    rpn = {"conv": _conv(sd, "rpn.head.conv"),
+           "cls_logits": _conv(sd, "rpn.head.cls_logits"),
+           "bbox_pred": _conv(sd, "rpn.head.bbox_pred")}
+
+    box_head = {"fc6": dense("roi_heads.box_head.fc6"),
+                "fc7": dense("roi_heads.box_head.fc7"),
+                "cls_score": dense("roi_heads.box_predictor.cls_score"),
+                "bbox_pred": dense("roi_heads.box_predictor.bbox_pred")}
+
+    mask_head = {
+        f"mask_fcn{i}": _conv(sd, f"roi_heads.mask_head.mask_fcn{i}")
+        for i in (1, 2, 3, 4)}
+    # torch ConvTranspose2d weight is (in, out, kh, kw); Flax ConvTranspose
+    # kernel is (kh, kw, in, out)
+    w = sd["roi_heads.mask_predictor.conv5_mask.weight"]
+    mask_head["conv5_mask"] = {
+        "kernel": np.transpose(w, (2, 3, 0, 1)),
+        "bias": sd["roi_heads.mask_predictor.conv5_mask.bias"]}
+    mask_head["mask_fcn_logits"] = _conv(
+        sd, "roi_heads.mask_predictor.mask_fcn_logits")
+
+    return {"params": {"backbone": backbone, "rpn": rpn,
+                       "box_head": box_head, "mask_head": mask_head}}
+
+
 def load_torch_pipeline(params, estim: Optional[str] = None,
                         refine: Optional[str] = None,
                         inpaint: Optional[str] = None,

@@ -35,6 +35,12 @@ WEIGHTS = {
         "13Y6-hdM8MEDBRmv0owwjtYScBiu5aOw3",
 }
 
+# torchvision Mask-RCNN (the reference loads it via the torchvision hub,
+# training/train_depth.py:55); fetched directly so the --mask-source
+# maskrcnn recipe works without torchvision installed.
+MASKRCNN_URL = ("https://download.pytorch.org/models/"
+                "maskrcnn_resnet50_fpn_coco-bf2d0c1e.pth")
+
 CONVERTERS = {
     "disparity-refinement.tar": "refine",
     "inpainting-color.tar": "inpaint",
@@ -57,6 +63,11 @@ def download(out_dir: str) -> None:
         print(f"downloading {name} ...")
         subprocess.run(["wget", "--no-check-certificate", "-q", url,
                         "-O", dst], check=True)
+    dst = os.path.join(out_dir, "maskrcnn_resnet50_fpn_coco.pth")
+    if not (os.path.exists(dst) and os.path.getsize(dst) > 1 << 20):
+        print("downloading maskrcnn_resnet50_fpn_coco.pth ...")
+        subprocess.run(["wget", "-q", MASKRCNN_URL, "-O", dst],
+                       check=True)
 
 
 def convert(out_dir: str) -> None:
