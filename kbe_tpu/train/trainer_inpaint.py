@@ -138,8 +138,30 @@ class TrainerInpaint:
         variables = self.disc_def.init(
             {"params": jax.random.PRNGKey(7)}, jnp.zeros((1, h, w, 3)),
             jnp.zeros((1, h, w, 1)), train=True)
-        return DiscState(variables, self.tx_d.init(variables["params"]),
+        _, trainable = self._split_disc_params(variables["params"])
+        return DiscState(variables, self.tx_d.init(trainable),
                          jnp.zeros((), jnp.int32))
+
+    @staticmethod
+    def _split_disc_params(params):
+        """(frozen_vgg, trainable_rest) split of MPD params.
+
+        The reference freezes the perceptual VGG16 extractor inside the
+        discriminator (models/discriminator.py:218-220 ``.eval()`` +
+        ``requires_grad = False``): D updates never touch it, and the D
+        backward never computes its kernel grads (the heads sit on TOP of
+        the features, so without VGG param grads the whole VGG backward is
+        dead code). G still backprops THROUGH the frozen convs to its own
+        output, as in torch."""
+        core = dict(params["core"])
+        vgg = core.pop("vgg", None)
+        return vgg, {**params, "core": core}
+
+    @staticmethod
+    def _merge_disc_params(vgg, trainable):
+        if vgg is None:
+            return trainable
+        return {**trainable, "core": {**trainable["core"], "vgg": vgg}}
 
     # ----------------------------------------------------------- shared
 
@@ -277,8 +299,13 @@ class TrainerInpaint:
         fake_img = jax.lax.stop_gradient(out["inpaint_img"])
         fake_disp = jax.lax.stop_gradient(out["inpaint_disp"])
 
+        vgg_frozen, d_trainable = self._split_disc_params(
+            d_state.variables["params"])
+
         def d_loss_fn(d_params):
-            variables = {**d_state.variables, "params": d_params}
+            variables = {**d_state.variables,
+                         "params": self._merge_disc_params(vgg_frozen,
+                                                           d_params)}
             fake_preds, upd1 = self.disc_def.apply(
                 variables, fake_img, fake_disp, train=True,
                 mutable=["batch_stats"])
@@ -291,11 +318,11 @@ class TrainerInpaint:
             return loss, {**upd1, **upd2}
 
         (d_loss, new_stats), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(d_state.variables["params"])
+            d_loss_fn, has_aux=True)(d_trainable)
         d_updates, d_opt = self.tx_d.update(d_grads, d_state.opt_state,
-                                            d_state.variables["params"])
-        d_params = optax.apply_updates(d_state.variables["params"],
-                                       d_updates)
+                                            d_trainable)
+        d_params = self._merge_disc_params(
+            vgg_frozen, optax.apply_updates(d_trainable, d_updates))
         d_state = DiscState({**d_state.variables, **new_stats,
                              "params": d_params}, d_opt, d_state.step + 1)
         metrics["loss_d"] = d_loss
