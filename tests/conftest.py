@@ -26,4 +26,22 @@ if not os.environ.get("KBE_TESTS_ALLOW_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache for the suite (.jax_cache_tests,
+# gitignored): the suite's wall time is dominated by recompiling the same
+# splat/fill/net programs every run — with the cache, re-runs start from
+# compiled binaries. Disable with KBE_TESTS_NO_CACHE=1 (e.g. when timing
+# cold compiles).
+if not os.environ.get("KBE_TESTS_NO_CACHE"):
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache_tests"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax: flag names differ; cold compile still works
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

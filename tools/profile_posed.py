@@ -85,7 +85,7 @@ def main():
                                    camera.baseline)
         points = depth_to_points(depth[..., 0], camera.focal)
         anchor = depth_range(depth[0, ..., 0], effect.depth_range_margin)
-        grids_xyz = [points]
+        grids_xyz = [points.reshape(h, w, 3)]
         grids_data = [jnp.concatenate([image[0], disparity[0], depth[0]],
                                       axis=-1)]
         grids_valid = [jnp.ones((h, w), jnp.float32)]
