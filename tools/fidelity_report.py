@@ -1,0 +1,110 @@
+"""Fidelity artifact: the BENCHMARKED path vs the executable spec path.
+
+bench.py measures the banded/posed Pallas splat + two-phase Pallas fill +
+bf16 nets; the e2e oracle (tests/test_oracle_e2e.py) proves the
+scatter + XLA-fill + f32 configuration against the reference's own
+pipeline code. This tool closes the gap (VERDICT r2 "next round" #3): it
+renders the SAME scene through both configurations on the real chip and
+records per-frame SSIM / max-abs-diff of the final uint8 frames into
+FIDELITY_r{N}.json.
+
+Notes:
+  * both paths share one set of weights; the spec path runs f32 nets, so
+    the measured delta includes the bf16 cost of the production path —
+    exactly the number VERDICT asked to bound;
+  * the bench scene uses random weights (no checkpoints are fetchable
+    offline), whose depth is adversarial for the banded renderer (see
+    README "Performance": one inpainted grid exceeds the per-chunk window
+    budget and is clipped). The report records `splat_overflow_frames` so
+    the SSIM can be read in context.
+
+Usage: python tools/fidelity_report.py [size] [n_steps] [out.json]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "FIDELITY_r03.json"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from kbe_tpu.config import EffectConfig, ZoomSettings
+    from kbe_tpu.ops.image_ops import ssim
+    from kbe_tpu.pipeline.kenburns import KenBurnsPipeline, build_effect_fn
+
+    h = w = size
+    zoom = ZoomSettings.default_3d(w, h)
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+
+    # the production (benchmarked) configuration — bench.py's exact setup
+    bench_effect = EffectConfig(num_steps=n_steps)
+    pipe = KenBurnsPipeline.create(jax.random.PRNGKey(0), h, w,
+                                   effect=bench_effect, dtype=jnp.bfloat16)
+    bench_fn = jax.jit(build_effect_fn(h, w, zoom, pipe.camera,
+                                       bench_effect, dtype=jnp.bfloat16,
+                                       with_stats=True))
+
+    # the spec configuration: exact scatter splat + pure-XLA fill + f32
+    # nets (the path the e2e oracle proves against the reference)
+    spec_effect = EffectConfig(num_steps=n_steps, splat_method="scatter",
+                               fill_impl="xla")
+    spec_params = KenBurnsPipeline.create(
+        jax.random.PRNGKey(0), h, w, effect=spec_effect,
+        dtype=jnp.float32).params
+    spec_fn = jax.jit(build_effect_fn(h, w, zoom, pipe.camera, spec_effect,
+                                      dtype=jnp.float32))
+
+    t0 = time.time()
+    bench_frames, stats = jax.block_until_ready(bench_fn(pipe.params,
+                                                         image))
+    t_bench = time.time() - t0
+    t0 = time.time()
+    spec_frames = jax.block_until_ready(spec_fn(spec_params, image))
+    t_spec = time.time() - t0
+
+    bf = np.asarray(bench_frames, np.float64) / 255.0
+    sf = np.asarray(spec_frames, np.float64) / 255.0
+    ssims = [float(ssim(jnp.asarray(bf[i][None], jnp.float32),
+                        jnp.asarray(sf[i][None], jnp.float32)))
+             for i in range(n_steps)]
+    report = {
+        "size": size,
+        "n_steps": n_steps,
+        "bench_path": "splat=posed/banded fill=pallas dtype=bfloat16",
+        "spec_path": "splat=scatter fill=xla dtype=float32",
+        "mean_ssim": float(np.mean(ssims)),
+        "min_ssim": float(np.min(ssims)),
+        "per_frame_ssim": [round(s, 5) for s in ssims],
+        "max_abs_diff_uint8": float(np.max(np.abs(bf - sf)) * 255.0),
+        "mean_abs_diff_uint8": float(np.mean(np.abs(bf - sf)) * 255.0),
+        "splat_overflow_frames": int(stats["splat_overflow_frames"]),
+        "scene": "random weights (no fetchable checkpoints offline) — "
+                 "adversarial depth for the banded renderer; see README",
+        "wall_s": {"bench_path": round(t_bench, 1),
+                   "spec_path": round(t_spec, 1)},
+    }
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
