@@ -112,6 +112,13 @@ class EffectConfig:
     # frames with provably-unresolved pixels (holes wider than ~this many
     # pixels) re-run the exact fill_march_steps march under a lax.cond.
     fill_march_phase1: int = 16
+    # Phase-0 radius of the thin-hole resolver (0 disables): hole pixels
+    # whose best endpoint pair lies within this radius have a PROVABLY
+    # global winner (any direction unresolved at radius r has pair
+    # distance > r + 0.58) and resolve with ~32*r vectorized shifted
+    # compares; only tiles with unresolved pixels enter the phase-1
+    # march. Bit-identical output (ops/discfill.py::resolve_thin_holes).
+    fill_phase0: int = 2
     # 'pallas' (two-phase fused kernel, the default) or 'xla' (pure-XLA
     # march — slower on TPU but compiles fast and runs on any backend;
     # used by CPU-oracle tests).
@@ -129,8 +136,16 @@ class EffectConfig:
     # 'routed' (CSR one-hot kernel) | 'delta' | 'pallas' (legacy window
     # kernel) | 'scatter' | 'sorted' force an implementation.
     splat_method: str = "auto"
-    # CSR-overflow behavior of the routed renderer: 'clip' (graceful
-    # degradation, fast compile) or 'scatter' (exact in-graph fallback,
+    # Bounded per-chunk scatter capacity of the posed/banded frame-loop
+    # renderer: chunks whose window work exceeds the kernel budget render
+    # EXACTLY through the XLA scatter spec sharing the kernel's z-buffer,
+    # up to this many chunks per frame (a lax.cond epilogue — free when
+    # nothing overflows). The reference never drops a point
+    # (utils/common.py:585-669); with this path neither do we, at a
+    # bounded cost on adversarial scenes. 0 disables.
+    splat_overflow_chunks: int = 256
+    # Beyond-cap CSR-overflow behavior: 'clip' (graceful degradation,
+    # fast compile) or 'scatter' (exact full-frame in-graph fallback,
     # adds the scatter renderer's multi-minute XLA compile to the program).
     splat_fallback: str = "clip"
     # Upper bound on per-point screen displacement accepted by the legacy

@@ -151,6 +151,105 @@ def _fill_single(image: jax.Array, depth: jax.Array, steps: int) -> jax.Array:
     return jnp.where(do_fill[..., None], filled, image)
 
 
+def resolve_thin_holes(image: jax.Array, depth: jax.Array, k0: int,
+                       roi=None):
+    """Phase-0 fill: resolve hole pixels whose winner is PROVABLY global
+    after a radius-``k0`` march, with ~32*k0 shifted int8 compares.
+
+    Soundness bound: a ray's event at step k has endpoint offset
+    o = c_round(k*d_hat) with |o - k*d_hat| <= sqrt(2)/2, so its projection
+    on the direction satisfies o . d_hat >= k - 0.7072. For any direction
+    with a ray still un-evented after k0 steps, the eventual pair distance
+    |o_to - o_from| >= (o_to + (-o_from)) . d_hat >= (k0+1 - 0.7072)
+    + (1 - 0.7072) = k0 + 0.5856. Hence if the best pair distance among
+    fully-evented directions is < k0 + 0.58, NO un-evented direction can
+    beat or tie it (ties go to the first index; an undecided direction's
+    dist is strictly larger), and the selection — and therefore the fill —
+    equals the unbounded march's, bit-exactly (same offset tables, same
+    f32 distance arithmetic, same farther-endpoint choice).
+
+    ``roi``: static (y0, y1, x0, x1); holes outside are neither filled nor
+    reported unresolved (the caller's crop discards them).
+
+    Returns (filled (H, W, C), unresolved (H, W) bool — in-ROI holes that
+    need a real march).
+    """
+    h, w, c = image.shape
+    valid = depth[..., 0] > 0.0
+    hole = ~valid
+    if roi is not None:
+        y0, y1, x0, x1 = roi
+        yy_r = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx_r = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        hole = hole & ((yy_r >= y0) & (yy_r < y1) & (xx_r >= x0)
+                       & (xx_r < x1))
+
+    pad = k0 + 1
+    vpad = jnp.pad(valid.astype(jnp.int8), ((pad, pad), (pad, pad)),
+                   constant_values=-1)
+    ox_np, oy_np = _offset_tables(k0)  # (32, k0) static tables
+
+    def ray_events(r):
+        """First event of ray r within k0 steps, fully unrolled over the
+        STATIC offset table. Returns (decided, is_valid, off_y, off_x) —
+        per-pixel (H, W) maps; offsets are selected static constants."""
+        decided = jnp.zeros((h, w), bool)
+        is_valid = jnp.zeros((h, w), bool)
+        off_y = jnp.zeros((h, w), jnp.int32)
+        off_x = jnp.zeros((h, w), jnp.int32)
+        for k in range(k0):
+            dy = int(oy_np[r, k])
+            dx = int(ox_np[r, k])
+            s = lax.dynamic_slice(vpad, (pad + dy, pad + dx), (h, w))
+            event = (s != 0) & ~decided
+            is_valid = jnp.where(event, s == 1, is_valid)
+            off_y = jnp.where(event, dy, off_y)
+            off_x = jnp.where(event, dx, off_x)
+            decided = decided | event
+        return decided, is_valid, off_y, off_x
+
+    inf = jnp.float32(3e38)
+    best_dist = jnp.full((h, w), inf, jnp.float32)
+    b_fy = jnp.zeros((h, w), jnp.int32)
+    b_fx = jnp.zeros((h, w), jnp.int32)
+    b_ty = jnp.zeros((h, w), jnp.int32)
+    b_tx = jnp.zeros((h, w), jnp.int32)
+    all_decided = jnp.ones((h, w), bool)
+
+    for d in range(16):
+        t_dec, t_ok, t_oy, t_ox = ray_events(d)
+        f_dec, f_ok, f_oy, f_ox = ray_events(d + 16)
+        all_decided = all_decided & t_dec & f_dec
+        both = t_dec & f_dec & t_ok & f_ok
+        dist = jnp.sqrt((t_ox - f_ox).astype(jnp.float32) ** 2
+                        + (t_oy - f_oy).astype(jnp.float32) ** 2)
+        dist = jnp.where(both, dist, inf)
+        better = dist < best_dist  # strict: first minimum wins
+        best_dist = jnp.where(better, dist, best_dist)
+        b_fy = jnp.where(better, f_oy, b_fy)
+        b_fx = jnp.where(better, f_ox, b_fx)
+        b_ty = jnp.where(better, t_oy, b_ty)
+        b_tx = jnp.where(better, t_ox, b_tx)
+
+    provable = all_decided | (best_dist < jnp.float32(k0) + 0.58)
+    do_fill = hole & provable & (best_dist < 1e38)
+    unresolved = hole & ~provable
+
+    yy = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    bfy, bfx = yy + b_fy, xx + b_fx
+    bty, btx = yy + b_ty, xx + b_tx
+    dflat = depth[..., 0].reshape(-1)
+    d_from = dflat[jnp.clip(bfy * w + bfx, 0, h * w - 1)]
+    d_to = dflat[jnp.clip(bty * w + btx, 0, h * w - 1)]
+    use_to = d_from < d_to  # farther endpoint (background) wins
+    fill_y = jnp.where(use_to, bty, bfy)
+    fill_x = jnp.where(use_to, btx, bfx)
+    flat = jnp.clip(fill_y * w + fill_x, 0, h * w - 1)
+    filled = image.reshape(-1, c)[flat]
+    return jnp.where(do_fill[..., None], filled, image), unresolved
+
+
 def fill_disocclusion(image: jax.Array, depth: jax.Array,
                       steps: int = 128) -> jax.Array:
     """Fill depth<=0 holes from the nearest background pixels.

@@ -518,6 +518,44 @@ def _fill_single_gated(image, depth, steps, interpret, roi=None):
     Bit-identical to _fill_single_fused: untouched tiles have no in-ROI
     holes, so their fill output equals the input image.
     """
+    h, w = image.shape[0], image.shape[1]
+    n_ty = _ceil_to(h, TILE_H) // TILE_H
+    n_tx = _ceil_to(w, TILE_W) // TILE_W
+    order, count = _hole_tile_order(depth, roi, h, w, n_ty, n_tx)
+    return _gated_flagging_run(image, depth, image, order, count, steps,
+                               interpret, roi)
+
+
+def _tile_flags(mask, h, w, n_ty, n_tx):
+    """(H, W) bool pixel mask -> (n_ty * n_tx,) any-per-tile flags."""
+    hp = _ceil_to(h, TILE_H)
+    wp = _ceil_to(w, TILE_W)
+    pad = jnp.zeros((hp, wp), jnp.bool_).at[:h, :w].set(mask)
+    return jnp.any(pad.reshape(n_ty, TILE_H, n_tx, TILE_W),
+                   axis=(1, 3)).reshape(-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "interpret", "roi"))
+def _fill_gated_from_flags(image, depth, base, flags, steps, interpret,
+                           roi=None):
+    """Gated flagging fill of the tiles in ``flags``, merged over ``base``
+    (the phase-0 output). Flagged tiles re-march EVERY in-ROI hole they
+    contain from the original planes — phase-0-resolved pixels refill to
+    bit-identical values (provably-global winners don't move under a
+    longer march), unresolved ones get their phase-1 values."""
+    flags_flat = flags.reshape(-1)
+    order = jnp.argsort(jnp.logical_not(flags_flat)).astype(jnp.int32)
+    count = jnp.sum(flags_flat.astype(jnp.int32))
+    return _gated_flagging_run(image, depth, base, order, count, steps,
+                               interpret, roi)
+
+
+def _gated_flagging_run(image, depth, base, order, count, steps, interpret,
+                        roi):
+    """Run the gated flagging kernel over the first ``count`` tiles of
+    ``order``; scatter outputs over ``base``. Returns (filled,
+    unresolved per-tile flags (n_ty, n_tx))."""
     h, w, c = image.shape
     hp = _ceil_to(h, TILE_H)
     wp = _ceil_to(w, TILE_W)
@@ -526,7 +564,6 @@ def _fill_single_gated(image, depth, steps, interpret, roi=None):
     t = n_ty * n_tx
     planes, wh, ww = _build_planes(image, depth, steps, hp, wp, n_ty, n_tx)
     ox_np, oy_np = _offset_tables(steps)
-    order, count = _hole_tile_order(depth, roi, h, w, n_ty, n_tx)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -555,9 +592,9 @@ def _fill_single_gated(image, depth, steps, interpret, roi=None):
     )(jnp.asarray(oy_np), jnp.asarray(ox_np), order, count.reshape(1),
       planes)
 
-    # scatter filled tiles + flags over the input (inactive slots drop)
+    # scatter filled tiles + flags over the base (inactive slots drop)
     tiles2 = jnp.transpose(out.reshape(t, c, TILE_H, TILE_W), (0, 2, 3, 1))
-    pad1 = jnp.zeros((hp, wp, c), image.dtype).at[:h, :w].set(image)
+    pad1 = jnp.zeros((hp, wp, c), base.dtype).at[:h, :w].set(base)
     tiled1 = jnp.transpose(
         pad1.reshape(n_ty, TILE_H, n_tx, TILE_W, c),
         (0, 2, 1, 3, 4)).reshape(t, TILE_H, TILE_W, c)
@@ -706,7 +743,8 @@ def fill_disocclusion_pallas(image: jax.Array, depth: jax.Array,
                              steps: int = 128,
                              phase1_steps: int = 0,
                              roi: Optional[Tuple[int, int, int, int]] = None,
-                             interpret: bool | None = None) -> jax.Array:
+                             interpret: bool | None = None,
+                             phase0_steps: int = 0) -> jax.Array:
     """Drop-in Pallas implementation of ops/discfill.py:fill_disocclusion.
 
     ``image``: (B, H, W, C); ``depth``: (B, H, W, 1); holes are depth <= 0.
@@ -717,6 +755,14 @@ def fill_disocclusion_pallas(image: jax.Array, depth: jax.Array,
     re-march of ONLY the unresolved tiles (scalar-prefetched tile list)
     scattered over the phase-1 result. Bit-identical to the one-phase fill
     for every input.
+
+    With ``phase0_steps > 0`` additionally runs the vectorized-XLA
+    radius-``phase0_steps`` thin-hole resolver first
+    (ops/discfill.py::resolve_thin_holes — provably-global winners only),
+    and the phase-1 march visits ONLY tiles with unresolved pixels. On
+    scattered-thin-hole frames (noisy depth) this replaces the saturated
+    per-tile march with ~32*phase0_steps shifted compares. Bit-identical
+    by the resolver's soundness bound.
 
     ``roi``: static (y0, y1, x0, x1) — pixels outside are treated as
     non-holes (left untouched); in-ROI results stay bit-identical to the
@@ -729,6 +775,29 @@ def fill_disocclusion_pallas(image: jax.Array, depth: jax.Array,
         if phase1_steps <= 0 or phase1_steps >= steps:
             return _fill_single_pallas(img_b, depth_b, steps, interpret,
                                        roi)
+        if phase0_steps > 0:
+            from kbe_tpu.ops.discfill import resolve_thin_holes
+
+            h, w = img_b.shape[0], img_b.shape[1]
+            n_ty = _ceil_to(h, TILE_H) // TILE_H
+            n_tx = _ceil_to(w, TILE_W) // TILE_W
+            filled0, unresolved = resolve_thin_holes(img_b, depth_b,
+                                                     phase0_steps, roi)
+            flags0 = _tile_flags(unresolved, h, w, n_ty, n_tx)
+
+            def run_marches(_):
+                filled1, flags1 = _fill_gated_from_flags(
+                    img_b, depth_b, filled0, flags0, phase1_steps,
+                    interpret, roi)
+                return lax.cond(
+                    jnp.any(flags1),
+                    lambda: _fill_phase2_gated(img_b, depth_b, filled1,
+                                               flags1, steps, interpret,
+                                               roi),
+                    lambda: filled1)
+
+            return lax.cond(jnp.any(flags0), run_marches,
+                            lambda _: filled0, operand=None)
         filled1, flags = _fill_single_gated(img_b, depth_b, phase1_steps,
                                             interpret, roi)
         return lax.cond(

@@ -35,7 +35,7 @@ an integer (rare, and then only +1 iteration for that chunk).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -174,8 +174,15 @@ def prepare_banded_scene(xyz: jax.Array, data: jax.Array,
     return BandedScene(records, px, py, pz, pv, xx0, yy0)
 
 
-def _build_posed_kernel(c, height, width, per_grid, wc):
-    """Fused zee + degrid + accumulate; per-pose geometry in-register."""
+def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False):
+    """Fused zee + degrid + accumulate; per-pose geometry in-register.
+
+    ``with_extra``: the bounded-overflow variant — the z-buffer is seeded
+    from a precomputed padded plane (the overwork chunks' exact XLA
+    scatter-min contribution) instead of the hole sentinel, and the
+    DEGRIDDED z-buffer is written out per tile so the epilogue can run
+    the spec's visibility test for the overflow points' accumulation.
+    """
     d = c + 1
     bh, bw = _BH, _BW
     rgh, rgw = _RGH, _RGW
@@ -186,7 +193,13 @@ def _build_posed_kernel(c, height, width, per_grid, wc):
     hh = 0.5 * height
 
     def kernel(off_ref, ids_ref, meta1_ref, meta2_ref, pose_ref, rec_hbm,
-               out_ref, rec_vmem, zee_buf, acc_buf, copy_sem, out_sem):
+               *rest):
+        if with_extra:
+            (extra_hbm, out_ref, zee_out, rec_vmem, zee_buf, acc_buf,
+             copy_sem, out_sem, zee_sem) = rest
+        else:
+            (out_ref, rec_vmem, zee_buf, acc_buf, copy_sem,
+             out_sem) = rest
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         t = ty * pl.num_programs(1) + tx
@@ -332,8 +345,18 @@ def _build_posed_kernel(c, height, width, per_grid, wc):
 
             window_loop(j, body)
 
-        # hole sentinel == the spec's _ZFAR (raw domain)
-        zee_buf[:, :] = jnp.full((bh, bw), _BIG, jnp.float32)
+        # hole sentinel == the spec's _ZFAR (raw domain); the overflow
+        # variant seeds from the overwork chunks' scatter-min plane so
+        # both point subsets share ONE z-buffer (min is exact/associative)
+        if with_extra:
+            cpz = pltpu.make_async_copy(
+                extra_hbm.at[pl.ds(ty * TILE_H, bh),
+                             pl.ds(tx * TILE_W, bw)],
+                zee_buf, zee_sem)
+            cpz.start()
+            cpz.wait()
+        else:
+            zee_buf[:, :] = jnp.full((bh, bw), _BIG, jnp.float32)
         stream(zee_chunk)
 
         # ---- degrid on the 2D buffer (raw-domain spec averaging) ----
@@ -345,6 +368,10 @@ def _build_posed_kernel(c, height, width, per_grid, wc):
         inimg = ((gy_img >= 0) & (gy_img < height) & (gx_img >= 0)
                  & (gx_img < width))
         zee_buf[:, :] = _degrid_zee_raw(zee, inimg, bh, bw)
+        if with_extra:
+            cpz2 = pltpu.make_async_copy(zee_buf, zee_out.at[t], zee_sem)
+            cpz2.start()
+            cpz2.wait()
 
         # ---- pass B: banded bilinear accumulation with in-band z-test ----
         acc_buf[:, :] = jnp.zeros((d * bh, bw), jnp.float32)
@@ -417,11 +444,13 @@ class PoseRouting(NamedTuple):
     meta1: jax.Array       # (NC,) packed base_dy/base_dx
     meta2: jax.Array       # (NC,) packed y_cnt/xw_cnt
     overflow: jax.Array    # () bool
+    over_ids: Any = None   # (overflow_cap,) overwork chunk ids (cap > 0)
+    n_over: Any = None     # () number of overwork chunks (cap > 0)
 
 
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "capacity_factor",
-                              "work_limit"))
+                              "work_limit", "overflow_cap"))
 def pose_routing(
     scene: BandedScene,
     shift: jax.Array,
@@ -430,6 +459,7 @@ def pose_routing(
     width: int,
     capacity_factor: int = 4,
     work_limit: int = 256,
+    overflow_cap: int = 0,
 ) -> PoseRouting:
     """The per-pose XLA prepass: chunk displacement bounds -> meta packing
     + CSR tile routing (separated from the kernel so it can be profiled
@@ -495,13 +525,48 @@ def pose_routing(
     capacity = int(capacity_factor) * nc
     chunk_ids, offsets, csr_overflow, _dropped = _build_csr(
         minu, maxu, minv, maxv, n_ty, n_tx, capacity, TILE_H, TILE_W)
+    if overflow_cap > 0:
+        # overwork chunks are rendered EXACTLY by the bounded per-chunk
+        # scatter epilogue (render_scene_posed); only beyond-cap counts
+        # as a real overflow
+        n_over = jnp.sum(overwork.astype(jnp.int32))
+        over_ids = jnp.argsort(
+            jnp.logical_not(overwork)).astype(jnp.int32)[:overflow_cap]
+        overflow = csr_overflow | (n_over > overflow_cap)
+        return PoseRouting(chunk_ids, offsets, meta1, meta2, overflow,
+                           over_ids, n_over)
     overflow = csr_overflow | jnp.any(overwork)
     return PoseRouting(chunk_ids, offsets, meta1, meta2, overflow)
 
 
+def _overflow_points(scene: BandedScene, routing: PoseRouting, shift,
+                     focal, baseline, height, width, c):
+    """Project the overwork chunks' points with the SPEC's expression
+    tree (apply_shift ∘ project_points ∘ splat_error, ops/splat.py /
+    ops/geometry.py) — their handling must be bit-equal to the scatter
+    renderer's. Returns (u, v, err, ok, payload (M, c))."""
+    from kbe_tpu.ops.geometry import project_points, splat_error
+
+    cap = routing.over_ids.shape[0]
+    recs = jnp.take(scene.records, routing.over_ids, axis=0)
+    planes = recs.reshape(cap, 4 + c, CHUNK_H, CHUNK_W)
+    x = planes[:, 0].reshape(-1)   # pre-scaled by z/(z+1e-7), exactly
+    y = planes[:, 1].reshape(-1)   # what apply_shift materializes
+    z = planes[:, 2].reshape(-1)
+    val = planes[:, 3].reshape(-1)
+    pay = jnp.moveaxis(planes[:, 4:], 1, -1).reshape(-1, c)
+    xyz_sh = jnp.stack([x + shift[0], y + shift[1], z + shift[2]], -1)
+    u, v, ok = project_points(xyz_sh, height, width, focal)
+    slot_ok = (jnp.arange(cap, dtype=jnp.int32)
+               < routing.n_over)[:, None].repeat(CHUNK_H * CHUNK_W, 1)
+    ok = ok & (val > 0.0) & slot_ok.reshape(-1)
+    err = splat_error(xyz_sh[..., 2], focal, baseline)
+    return u, v, err, ok, pay
+
+
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "capacity_factor",
-                              "work_limit", "interpret"))
+                              "work_limit", "interpret", "overflow_cap"))
 def render_scene_posed(
     scene: BandedScene,
     shift: jax.Array,
@@ -513,6 +578,7 @@ def render_scene_posed(
     work_limit: int = 256,
     interpret: bool | None = None,
     routing: PoseRouting | None = None,
+    overflow_cap: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Render a prepared scene at one camera pose.
 
@@ -520,6 +586,14 @@ def render_scene_posed(
     golden-tested against it. Returns (rendered (1, H, W, C),
     existing (1, H, W, 1), overflow). ``routing`` lets a caller supply a
     precomputed (possibly batched-over-poses) prepass.
+
+    ``overflow_cap > 0`` adds the bounded per-chunk scatter path: up to
+    that many overwork chunks (per-chunk window budget exceeded — the
+    reference never drops a point, utils/common.py:585-669) render
+    EXACTLY through the XLA scatter spec, sharing one z-buffer with the
+    kernel (seeded scatter-min in, degridded z-buffer out); the lax.cond
+    epilogue costs nothing when no chunk overflows. ``overflow`` then
+    means genuinely dropped work (beyond-cap or CSR overflow) only.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -533,7 +607,10 @@ def render_scene_posed(
 
     if routing is None:
         routing = pose_routing(scene, shift, focal, height, width,
-                               capacity_factor, work_limit)
+                               capacity_factor, work_limit, overflow_cap)
+    if overflow_cap > 0 and routing.over_ids is None:
+        raise ValueError("overflow_cap > 0 needs a routing computed with "
+                         "the same overflow_cap")
     chunk_ids, offsets = routing.chunk_ids, routing.offsets
     meta1, meta2, overflow = routing.meta1, routing.meta2, routing.overflow
 
@@ -544,28 +621,73 @@ def render_scene_posed(
                       jnp.asarray(sy, jnp.float32),
                       jnp.asarray(sz, jnp.float32), focal, fb])
 
+    with_extra = overflow_cap > 0
+    ov = None
+    if with_extra:
+        from kbe_tpu.ops.splat import _zee_pass
+
+        rows = (n_ty - 1) * TILE_H + _BH
+        lanes = (n_tx - 1) * TILE_W + _BW
+        oy = PAD_Y + _HALO_LO
+        ox = PAD_X + _HALO_LO
+        ov = _overflow_points(scene, routing, (sx, sy, sz), focal,
+                              jnp.asarray(baseline, jnp.float32), height,
+                              width, c)
+        # a data-derived zero so BOTH cond branches share the same
+        # varying-manual-axes type under shard_map (n_over is a finite
+        # int32, so the product is exactly 0.0)
+        vary0 = jnp.asarray(routing.n_over, jnp.float32) * 0.0
+
+        def build_plane(_):
+            u, v, err, ok, _pay = ov
+            zee = _zee_pass(u, v, err, ok, height, width)
+            plane = jnp.full((rows, lanes), _BIG, jnp.float32)
+            return lax.dynamic_update_slice(plane, zee, (oy, ox))
+
+        extra_plane = lax.cond(
+            routing.n_over > 0, build_plane,
+            lambda _: jnp.full((rows, lanes), _BIG, jnp.float32) + vary0,
+            operand=None)
+
     nc_y = hp // CHUNK_H
     nc_x = wp // CHUNK_W
+    scratch = [
+        pltpu.VMEM((2, (4 + c) * CHUNK_H, CHUNK_W), jnp.float32),
+        pltpu.VMEM((_BH, _BW), jnp.float32),
+        pltpu.VMEM((d * _BH, _BW), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if with_extra:
+        scratch.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_ty, n_tx),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, (4 + c) * CHUNK_H, CHUNK_W), jnp.float32),
-            pltpu.VMEM((_BH, _BW), jnp.float32),
-            pltpu.VMEM((d * _BH, _BW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 if with_extra
+                                                        else 1),
+        out_specs=([pl.BlockSpec(memory_space=pl.ANY)] * 2 if with_extra
+                   else pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=scratch,
     )
-    acc_flat = pl.pallas_call(
-        _build_posed_kernel(c, height, width, nc_y * nc_x, nc_x),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, d * _BH, _BW), jnp.float32),
-        interpret=interpret,
-    )(offsets, chunk_ids, jnp.take(meta1, chunk_ids),
-      jnp.take(meta2, chunk_ids), pose, scene.records)
+    kernel = _build_posed_kernel(c, height, width, nc_y * nc_x, nc_x,
+                                 with_extra)
+    if with_extra:
+        out_shape = [
+            jax.ShapeDtypeStruct((t, d * _BH, _BW), jnp.float32),
+            jax.ShapeDtypeStruct((t, _BH, _BW), jnp.float32),
+        ]
+        acc_flat, zee_flat = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(offsets, chunk_ids, jnp.take(meta1, chunk_ids),
+          jnp.take(meta2, chunk_ids), pose, scene.records, extra_plane)
+    else:
+        acc_flat = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((t, d * _BH, _BW), jnp.float32),
+            interpret=interpret,
+        )(offsets, chunk_ids, jnp.take(meta1, chunk_ids),
+          jnp.take(meta2, chunk_ids), pose, scene.records)
 
     acc = acc_flat.reshape(n_ty, n_tx, d, _BH, _BW)
     y0c = PAD_Y + _HALO_LO
@@ -573,6 +695,25 @@ def render_scene_posed(
     core = acc[:, :, :, y0c:y0c + TILE_H, x0c:x0c + TILE_W]
     img = jnp.transpose(core, (0, 3, 1, 4, 2)).reshape(
         n_ty * TILE_H, n_tx * TILE_W, d)[:height, :width]
+
+    if with_extra:
+        zee_cores = zee_flat.reshape(n_ty, n_tx, _BH, _BW)[
+            :, :, y0c:y0c + TILE_H, x0c:x0c + TILE_W]
+        zee_degrid = jnp.transpose(zee_cores, (0, 2, 1, 3)).reshape(
+            n_ty * TILE_H, n_tx * TILE_W)[:height, :width]
+
+        def extra_acc(_):
+            from kbe_tpu.ops.splat import _accumulate_pass
+
+            u, v, err, ok, pay = ov
+            acc_o = _accumulate_pass(u, v, err, ok, pay, zee_degrid,
+                                     height, width)
+            return jnp.moveaxis(acc_o, 0, -1)  # (H, W, d)
+
+        img = img + lax.cond(
+            routing.n_over > 0, extra_acc,
+            lambda _: jnp.zeros((height, width, d), jnp.float32) + vary0,
+            operand=None)
 
     rendered = img[..., :c] / (img[..., c:] + 1e-7)
     existing = img[..., c]

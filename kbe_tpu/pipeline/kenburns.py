@@ -142,9 +142,11 @@ def build_effect_fn(
     caller feeds RGB, mirroring kbe.py:96-103). Returns (num_steps, H, W, 3)
     float frames quantized to the uint8 grid in [0, 255]. With
     ``with_stats=True`` returns ``(frames, stats)`` where stats carries
-    ``splat_overflow_frames`` — the number of frames whose CSR routing
-    overflowed capacity (with splat_fallback='clip' those frames silently
-    lost splats; with 'scatter' they were re-rendered exactly).
+    ``splat_overflow_frames`` — frames that genuinely dropped work:
+    overwork chunks BEYOND effect.splat_overflow_chunks (up to the cap
+    they render exactly via the bounded scatter epilogue) or CSR routing
+    overflow. With splat_fallback='clip' such frames silently lost
+    splats; with 'scatter' they were re-rendered exactly.
     """
     if height % 4 or width % 4:
         raise ValueError("image dims must be multiples of 4 (kbe.py:108-114)")
@@ -290,7 +292,8 @@ def build_effect_fn(
                 from kbe_tpu.ops.splat import render_pointcloud as rp
 
                 render, weight, overflow = render_scene_posed(
-                    scene, shift, focal, height, width, camera.baseline)
+                    scene, shift, focal, height, width, camera.baseline,
+                    overflow_cap=effect.splat_overflow_chunks)
                 if effect.splat_fallback == "scatter":
                     def _scatter_fb(_):
                         xyz_fb = apply_shift(cloud_xyz, shift)
@@ -347,7 +350,8 @@ def build_effect_fn(
             else:
                 filled = fill_disocclusion_pallas(
                     render, render_depth, effect.fill_march_steps,
-                    phase1_steps=effect.fill_march_phase1, roi=fill_roi)
+                    phase1_steps=effect.fill_march_phase1, roi=fill_roi,
+                    phase0_steps=effect.fill_phase0)
             # uint8 quantization happens BEFORE crop in the reference
             # (utils/common.py:255 astype truncates), and the uint8 cv2
             # crop + resize each round-to-nearest (:256-257) — reproduce

@@ -100,3 +100,65 @@ def test_fill_fused_phase1_unresolved_flag():
     _, unresolved = _fill_single_fused(img, jnp.asarray(depth_np2), 8,
                                        True)
     assert bool(jnp.any(unresolved))
+
+
+def test_fill_phase0_bit_identical_noisy_scene():
+    # scattered thin holes (the noisy-depth regime that saturates the
+    # gated phase-1 march): the phase-0 resolver + gated marches must be
+    # bit-identical to the one-phase full march
+    img, depth = _scene(48, 256, seed=7, hole_frac=0.12)
+    want = fill_disocclusion(img, depth, 32)
+    got = fill_disocclusion_pallas(img, depth, 32, phase1_steps=8,
+                                   phase0_steps=2)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_fill_phase0_wide_hole_exact():
+    # holes wider than every bound: phase-0 resolves nothing there,
+    # phase-1 flags the tiles, phase-2 finishes — still bit-identical
+    img, depth = _scene(48, 256, seed=8, hole_frac=0.03)
+    depth_np = np.asarray(depth).copy()
+    depth_np[0, 8:40, 40:150] = 0.0
+    depth = jnp.asarray(depth_np)
+    want = fill_disocclusion(img, depth, 64)
+    got = fill_disocclusion_pallas(img, depth, 64, phase1_steps=8,
+                                   phase0_steps=2)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_fill_phase0_roi():
+    img, depth = _scene(48, 256, seed=9)
+    roi = (8, 40, 32, 224)
+    full = np.asarray(fill_disocclusion(img, depth, 32))
+    got = np.asarray(fill_disocclusion_pallas(img, depth, 32, roi=roi,
+                                              phase1_steps=8,
+                                              phase0_steps=2))
+    y0, y1, x0, x1 = roi
+    np.testing.assert_array_equal(got[:, y0:y1, x0:x1],
+                                  full[:, y0:y1, x0:x1])
+    outside = np.ones((48, 256), bool)
+    outside[y0:y1, x0:x1] = False
+    np.testing.assert_array_equal(got[:, outside],
+                                  np.asarray(img)[:, outside])
+
+
+def test_resolve_thin_holes_sound_and_complete_on_thin():
+    # the resolver's own contract: (a) every pixel it fills matches the
+    # unbounded march exactly; (b) on 1-2px scattered holes it resolves
+    # everything (no tile would enter the march)
+    from kbe_tpu.ops.discfill import resolve_thin_holes
+
+    rng = np.random.default_rng(10)
+    img = jnp.asarray(rng.uniform(0, 1, (48, 256, 4)).astype(np.float32))
+    depth_np = rng.uniform(10, 500, (48, 256, 1)).astype(np.float32)
+    # scatter isolated 1px holes away from borders
+    ys = rng.integers(3, 45, 60)
+    xs = rng.integers(3, 253, 60)
+    depth_np[ys, xs, 0] = 0.0
+    depth = jnp.asarray(depth_np)
+    filled0, unresolved = resolve_thin_holes(img, depth, 2)
+    assert not bool(jnp.any(unresolved))
+    want = fill_disocclusion(img[None], depth[None], 64)[0]
+    hole = depth_np[..., 0] <= 0
+    np.testing.assert_array_equal(np.asarray(filled0)[hole],
+                                  np.asarray(want)[hole])

@@ -91,3 +91,55 @@ def test_posed_overwork_flags_incoherent_cloud():
                                                       jnp.float32),
                                    focal, h, w, baseline, work_limit=16)
     assert bool(ovf)
+
+
+def test_posed_overflow_cap_exact_on_overwork_chunks():
+    # a grid whose points scatter across the whole screen blows the
+    # per-chunk window budget; with overflow_cap those chunks render
+    # through the bounded scatter epilogue sharing the kernel's z-buffer
+    # and the frame matches the scatter spec (same f32 tolerance as the
+    # in-budget golden tests), with NO overflow flagged — where the
+    # clip path loses the whole grid (reference never drops a point,
+    # utils/common.py:585-669)
+    h, w, focal, baseline = 48, 256, 100.0, 40.0
+    xyz, data, valid = _scene(h, w, focal, seed=11)
+    rng = np.random.default_rng(12)
+    xyz_np = np.asarray(xyz).copy()
+    xyz_np[1, ..., 0] = rng.uniform(-20, 20, (h, w))
+    xyz_np[1, ..., 1] = rng.uniform(-10, 10, (h, w))
+    xyz = jnp.asarray(xyz_np)
+    shift = jnp.asarray((2.0, -1.0, 0.0), jnp.float32)
+
+    scene = prepare_banded_scene(xyz, data, valid)
+    got_r, got_e, ovf = render_scene_posed(scene, shift, focal, h, w,
+                                           baseline, work_limit=16,
+                                           overflow_cap=128)
+    assert not bool(ovf)
+    shifted = apply_shift(xyz, shift)
+    want_r, want_e = _scatter(shifted, data, valid, h, w, focal, baseline)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=5e-4)
+
+    clip_r, _, ovf_clip = render_scene_posed(scene, shift, focal, h, w,
+                                             baseline, work_limit=16,
+                                             overflow_cap=0)
+    assert bool(ovf_clip)
+    assert float(jnp.max(jnp.abs(clip_r - want_r))) > 0.05
+
+
+def test_posed_overflow_cap_noop_when_in_budget():
+    # overflow_cap present but nothing overworks: identical to the plain
+    # posed path (the epilogue cond takes the zero branch)
+    h, w, focal, baseline = 48, 256, 100.0, 40.0
+    xyz, data, valid = _scene(h, w, focal, seed=13)
+    shift = jnp.asarray((1.5, 0.5, 4.0), jnp.float32)
+    scene = prepare_banded_scene(xyz, data, valid)
+    plain_r, plain_e, ovf1 = render_scene_posed(scene, shift, focal, h, w,
+                                                baseline)
+    cap_r, cap_e, ovf2 = render_scene_posed(scene, shift, focal, h, w,
+                                            baseline, overflow_cap=64)
+    assert not bool(ovf1) and not bool(ovf2)
+    np.testing.assert_array_equal(np.asarray(plain_r), np.asarray(cap_r))
+    np.testing.assert_array_equal(np.asarray(plain_e), np.asarray(cap_e))
