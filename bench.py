@@ -51,20 +51,41 @@ def run_bench(size: int, steps: int, repeats: int):
 
     from kbe_tpu.config import EffectConfig, ZoomSettings
     from kbe_tpu.pipeline.kenburns import KenBurnsPipeline, build_effect_fn
+    from kbe_tpu.train.checkpoint import (find_bench_weights,
+                                          load_pipeline_params)
+    from kbe_tpu.train.data import demo_scene_image
 
     effect = EffectConfig(num_steps=steps)
     pipe = KenBurnsPipeline.create(jax.random.PRNGKey(0), size, size,
                                    effect=effect, dtype=jnp.bfloat16)
     zoom = ZoomSettings.default_3d(size, size)
     fn = jax.jit(build_effect_fn(size, size, zoom, pipe.camera, effect,
-                                 dtype=jnp.bfloat16))
+                                 dtype=jnp.bfloat16, with_stats=True))
 
-    rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)),
-                        jnp.float32)
+    # Weights + scene: the deterministic synthetic-training recipe
+    # (tools/make_bench_weights.py) when present — the reference's
+    # benchmark-by-demo regime (trained weights, realistic image). The
+    # fallback (random weights + noise image) is an adversarial outlier
+    # for the banded renderer and is flagged in the JSON.
+    ckpt = find_bench_weights()
+    if ckpt:
+        params = load_pipeline_params(ckpt)
+        image = jnp.asarray(demo_scene_image(size, size),
+                            jnp.float32)[None]
+        weights = "trained-synthetic"
+    else:
+        params = pipe.params
+        rng = np.random.default_rng(0)
+        image = jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)),
+                            jnp.float32)
+        weights = "random (adversarial depth; run "\
+            "tools/make_bench_weights.py)"
+
+    overflow = [0]
 
     def run_once():
-        frames = fn(pipe.params, image)
+        frames, stats = fn(params, image)
+        overflow[0] = int(stats["splat_overflow_frames"])
         # NOTE: block_until_ready does not actually block on the axon
         # tunnel backend — force synchronization with a scalar host fetch.
         return float(jnp.sum(frames[:, ::128, ::128, 0]))
@@ -77,7 +98,8 @@ def run_bench(size: int, steps: int, repeats: int):
         run_once()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    return steps / best, best
+    return steps / best, best, {"weights": weights,
+                                "splat_overflow_frames": overflow[0]}
 
 
 def main():
@@ -94,15 +116,18 @@ def main():
     fps = 0.0
     for size in sizes:
         try:
-            f, latency = run_bench(size, steps, repeats)
+            f, latency, info = run_bench(size, steps, repeats)
             out[f"fps_{size}"] = round(f, 3)
             out[f"latency_s_{size}"] = round(latency, 4)
+            out[f"splat_overflow_frames_{size}"] = \
+                info["splat_overflow_frames"]
+            out["weights"] = info["weights"]
             if size == headline_size:
                 fps = f
             if os.environ.get("KBE_BENCH_STAGES"):
                 # stage split: a 2-step run isolates the fixed front-end
                 # (CNNs + inpaint bootstrap) from the per-frame loop cost
-                _, lat2 = run_bench(size, 2, repeats)
+                _, lat2, _ = run_bench(size, 2, repeats)
                 per_frame = max(latency - lat2, 0.0) / max(steps - 2, 1)
                 out[f"frame_ms_{size}"] = round(per_frame * 1e3, 2)
                 out[f"frontend_ms_{size}"] = round(

@@ -82,17 +82,26 @@ def build_parser():
     return p
 
 
-def resolve_mask_source(args):
+def resolve_mask_source(args, max_instances: int = 8,
+                        infer_size: int = 512):
     """'depth'/'image' pass through to KBEDataset's built-in segmenters;
     'maskrcnn' loads converted torchvision weights and returns the
     jitted instance-mask callable (reference recipe:
-    training/train_depth.py:55,151-163)."""
+    training/train_depth.py:55,151-163).
+
+    ``max_instances`` must match the consuming KBEDataset's capacity.
+    Inference always runs on a fixed ``infer_size``-square canvas
+    (aspect-preserving resize + zero pad) so the jitted net compiles
+    exactly once regardless of the dataset's crop sizes; masks are
+    resized back to the input resolution.
+    """
     if args.mask_source != "maskrcnn":
         return args.mask_source
     if not args.maskrcnn_weights:
         raise SystemExit("--mask-source maskrcnn requires "
                          "--maskrcnn-weights <torchvision .pth>")
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from kbe_tpu.models.maskrcnn import MaskRCNN, maskrcnn_instance_masks
@@ -103,10 +112,22 @@ def resolve_mask_source(args):
     fn = jax.jit(lambda im: maskrcnn_instance_masks(params, im, module))
 
     def source(image01, disparity=None):
-        masks = fn(image01[None] if image01.ndim == 3 else image01)
-        masks = np.asarray(masks[0] if image01.ndim == 3 else masks)
-        # keep KBEDataset's fixed mask capacity (top-scoring first)
-        return masks[:8]
+        img = np.asarray(image01[0] if image01.ndim == 4 else image01)
+        h, w = img.shape[0], img.shape[1]
+        s = infer_size / max(h, w)
+        rh, rw = max(1, round(h * s)), max(1, round(w * s))
+        small = np.asarray(jax.image.resize(jnp.asarray(img), (rh, rw, 3),
+                                            "bilinear"))
+        canvas = np.zeros((infer_size, infer_size, 3), np.float32)
+        canvas[:rh, :rw] = small
+        masks = np.asarray(fn(canvas[None])[0])  # (K, S, S, 1)
+        masks = masks[:max_instances, :rh, :rw]
+        back = jax.image.resize(jnp.asarray(masks),
+                                (masks.shape[0], h, w, 1), "nearest")
+        out = np.asarray(back)
+        if image01.ndim == 4:
+            out = out[None]
+        return out
 
     return source
 
@@ -120,26 +141,29 @@ def make_data(args, mode: str, camera):
             print("No --dataset given; falling back to --synthetic data.")
         size = {"disparity": (384, 512), "refine": (768, 1024),
                 "inpainting": (384, 512)}[mode]
-        train_iter = synthetic_batches(args.batch_size, *size,
-                                       mode=("inpainting"
-                                             if mode == "inpainting"
-                                             else "disparity"),
+        # pass the trainer mode through: the generator halves disparity
+        # only for "disparity" (the estimation net outputs at 1/2 input
+        # res); "refine" needs full-res GT (MODE_RATIOS {1,1},
+        # reference utils/data_loader.py:138-143)
+        train_iter = synthetic_batches(args.batch_size, *size, mode=mode,
                                        camera=camera,
                                        steps=args.max_steps,
                                        with_instance_masks=with_masks)
         val_factory = lambda: synthetic_batches(
-            args.batch_size, *size,
-            mode=("inpainting" if mode == "inpainting" else "disparity"),
+            args.batch_size, *size, mode=mode,
             camera=camera, seed=1, steps=4)
         return train_iter, val_factory, size
 
     ds_mode = {"disparity": "disparity", "refine": "refine",
                "inpainting": "inpainting"}[mode]
+    max_instances = 8  # KBEDataset capacity, threaded into the segmenter
     dataset = KBEDataset([parse_dataset(d) for d in args.dataset],
                          mode=ds_mode,
                          imagenet_path=args.mask_loss_dataset,
-                         mask_source=(resolve_mask_source(args)
-                                      if with_masks else None))
+                         mask_source=(resolve_mask_source(
+                             args, max_instances=max_instances)
+                             if with_masks else None),
+                         max_instances=max_instances)
     train_idx, val_idx = dataset.split()
     train_iter = Prefetcher(dataset.batches(train_idx, args.batch_size,
                                             epochs=args.n_epochs))

@@ -112,3 +112,42 @@ def load_pretrained_params(path: str, kind: str):
             and len(state) == 2:
         state = state[0]  # (dstate, rstate) refine-mode checkpoint
     return _state_params(state)
+
+
+def load_pipeline_params(path: str):
+    """Restore a full-inference-stack checkpoint (the flat dict saved by
+    tools/make_bench_weights.py) as a ``PipelineParams``.
+
+    The reference's equivalent is Pipeline.__init__ loading the six
+    released ``.tar`` weights (utils/pipeline.py:34-57 + download.sh);
+    offline, bench.py / fidelity tooling load the deterministic synthetic
+    training recipe's checkpoint instead.
+    """
+    from kbe_tpu.pipeline.kenburns import PipelineParams
+
+    state, _ = load_checkpoint(path)
+    return PipelineParams(
+        semantics=state["semantics"],
+        disparity=state["disparity"],
+        refine=state["refine"],
+        context=state["context"],
+        inpaint=state["inpaint"],
+        context_depth=state.get("context_depth"),
+        inpaint_depth=state.get("inpaint_depth"),
+    )
+
+
+def find_bench_weights(repo_root: Optional[str] = None) -> Optional[str]:
+    """Latest ``.bench_weights/pipeline-*`` checkpoint, or None.
+
+    Resolution order: $KBE_BENCH_WEIGHTS (a checkpoint path, or '' / '0'
+    to force random weights), then ``<repo_root>/.bench_weights``.
+    """
+    env = os.environ.get("KBE_BENCH_WEIGHTS")
+    if env is not None:
+        return env if env not in ("", "0", "none") else None
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    return latest_checkpoint(os.path.join(repo_root, ".bench_weights"),
+                             "pipeline")

@@ -418,6 +418,19 @@ def synthetic_batches(batch_size: int, height: int, width: int,
         yield batch
 
 
+def demo_scene_image(height: int, width: int, seed: int = 0) -> np.ndarray:
+    """Deterministic demo/bench input image (H, W, 3) in [0, 1].
+
+    The procedural generator's scene — in-distribution for the
+    make_bench_weights recipe, playing the role of the reference's demo
+    photograph (the reference always benchmarks-by-demo on a real image
+    with trained weights; a noise image is an adversarial outlier for
+    both the nets and the banded renderer)."""
+    batch = next(synthetic_batches(1, height, width, mode="refine",
+                                   seed=seed, steps=1))
+    return ((batch["image"][0] + 1.0) / 2.0).astype(np.float32)
+
+
 class Prefetcher:
     """Background-thread batch prefetcher (replaces torch DataLoader
     workers, utils/data_loader.py:199-201)."""

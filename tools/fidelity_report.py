@@ -12,11 +12,13 @@ Notes:
   * both paths share one set of weights; the spec path runs f32 nets, so
     the measured delta includes the bf16 cost of the production path —
     exactly the number VERDICT asked to bound;
-  * the bench scene uses random weights (no checkpoints are fetchable
-    offline), whose depth is adversarial for the banded renderer (see
-    README "Performance": one inpainted grid exceeds the per-chunk window
-    budget and is clipped). The report records `splat_overflow_frames` so
-    the SSIM can be read in context.
+  * weights + scene come from the deterministic synthetic-training recipe
+    (tools/make_bench_weights.py) when its checkpoint exists — the same
+    configuration bench.py measures. Without it the report falls back to
+    random weights + a noise image, whose depth is adversarial for the
+    banded renderer (README "Performance": chunks exceed the per-chunk
+    window budget and are clipped); `splat_overflow_frames` records that
+    context either way.
 
 Usage: python tools/fidelity_report.py [size] [n_steps] [out.json]
 """
@@ -47,16 +49,29 @@ def main():
     from kbe_tpu.config import EffectConfig, ZoomSettings
     from kbe_tpu.ops.image_ops import ssim
     from kbe_tpu.pipeline.kenburns import KenBurnsPipeline, build_effect_fn
+    from kbe_tpu.train.checkpoint import (find_bench_weights,
+                                          load_pipeline_params)
+    from kbe_tpu.train.data import demo_scene_image
 
     h = w = size
     zoom = ZoomSettings.default_3d(w, h)
-    rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+
+    ckpt = find_bench_weights()
+    if ckpt:
+        image = jnp.asarray(demo_scene_image(h, w), jnp.float32)[None]
+        scene = f"trained-synthetic weights ({os.path.basename(ckpt)}) + " \
+                "procedural demo scene (tools/make_bench_weights.py)"
+    else:
+        rng = np.random.default_rng(0)
+        image = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+        scene = "random weights + noise image (no bench checkpoint; " \
+                "adversarial depth for the banded renderer — see README)"
 
     # the production (benchmarked) configuration — bench.py's exact setup
     bench_effect = EffectConfig(num_steps=n_steps)
     pipe = KenBurnsPipeline.create(jax.random.PRNGKey(0), h, w,
                                    effect=bench_effect, dtype=jnp.bfloat16)
+    params = load_pipeline_params(ckpt) if ckpt else pipe.params
     bench_fn = jax.jit(build_effect_fn(h, w, zoom, pipe.camera,
                                        bench_effect, dtype=jnp.bfloat16,
                                        with_stats=True))
@@ -65,18 +80,14 @@ def main():
     # nets (the path the e2e oracle proves against the reference)
     spec_effect = EffectConfig(num_steps=n_steps, splat_method="scatter",
                                fill_impl="xla")
-    spec_params = KenBurnsPipeline.create(
-        jax.random.PRNGKey(0), h, w, effect=spec_effect,
-        dtype=jnp.float32).params
     spec_fn = jax.jit(build_effect_fn(h, w, zoom, pipe.camera, spec_effect,
                                       dtype=jnp.float32))
 
     t0 = time.time()
-    bench_frames, stats = jax.block_until_ready(bench_fn(pipe.params,
-                                                         image))
+    bench_frames, stats = jax.block_until_ready(bench_fn(params, image))
     t_bench = time.time() - t0
     t0 = time.time()
-    spec_frames = jax.block_until_ready(spec_fn(spec_params, image))
+    spec_frames = jax.block_until_ready(spec_fn(params, image))
     t_spec = time.time() - t0
 
     bf = np.asarray(bench_frames, np.float64) / 255.0
