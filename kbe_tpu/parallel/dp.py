@@ -38,14 +38,41 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh,
 
 
 def batch_parallel_effect(effect_fn: Callable, mesh: Mesh) -> Callable:
-    """Batch-shard the single-image effect over the mesh.
+    """Batch-shard the single-image effect over the mesh via shard_map.
 
     ``effect_fn(params, image_1hw3) -> frames`` becomes
     ``fn(params, images_bhw3) -> frames_b...`` with images and frames
     sharded over the data axis and params replicated.
+
+    shard_map (not vmap): each device traces the UN-vmapped effect body
+    over its local shard, so the production Pallas renderers and the
+    fused disocclusion fill — which reject vmap (ANY-space refs / scalar
+    prefetch) — run unchanged; items beyond one per device go through a
+    local ``lax.map``. Zero cross-chip traffic: every chip renders its
+    own videos (BASELINE.md production config, 64 images -> 64 videos).
     """
-    vf = jax.vmap(lambda p, img: effect_fn(p, img[None]),
-                  in_axes=(None, 0))
+    # check_vma/check_rep off: pallas_call out_shapes carry no varying-
+    # manual-axes metadata, and this decomposition has no cross-device
+    # collectives to validate anyway
+    try:
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
+
+    def local_fn(params, imgs):
+        return jax.lax.map(lambda img: effect_fn(params, img[None]), imgs)
+
+    sm = shard_map(local_fn, mesh,
+                   in_specs=(P(), P(DATA_AXIS)),
+                   out_specs=P(DATA_AXIS))
     rep = replicated_sharding(mesh)
     bat = batch_sharding(mesh)
-    return jax.jit(vf, in_shardings=(rep, bat), out_shardings=bat)
+    return jax.jit(sm, in_shardings=(rep, bat), out_shardings=bat)
