@@ -118,7 +118,12 @@ class EffectConfig:
     # distance > r + 0.58) and resolve with ~32*r vectorized shifted
     # compares; only tiles with unresolved pixels enter the phase-1
     # march. Bit-identical output (ops/discfill.py::resolve_thin_holes).
-    fill_phase0: int = 2
+    # Default OFF: it pays on noisy-depth scenes (thin scattered holes in
+    # every tile saturate the gated march: 22 -> ~7 ms/frame) but on
+    # realistic scenes the gated fill is already ~5 ms and the resolver's
+    # own full-image epilogue costs ~22 ms at 1024^2 (tools/diag_trained
+    # r04 attribution).
+    fill_phase0: int = 0
     # 'pallas' (two-phase fused kernel, the default) or 'xla' (pure-XLA
     # march — slower on TPU but compiles fast and runs on any backend;
     # used by CPU-oracle tests).

@@ -71,6 +71,8 @@ BAND_W = int(os.environ.get("KBE_BAND_W", "8"))
 PAD_Y = CHUNK_H        # buffer spill margins for dynamic placement
 PAD_X = 2 * CHUNK_W
 _RSENT = 20000         # invalid-point residual sentinel
+_CLMARK = 10000        # depth-cluster-1 rdy label offset (see
+                       # _depth_clusters; kernels subtract want*_CLMARK)
 
 _RGH = TILE_H + _HALO_LO + _HALO_HI
 _RGW = TILE_W + _HALO_LO + _HALO_HI
@@ -159,6 +161,40 @@ def _chunk_minmax(x, ok, red, fill):
     return red(x, axis=(2, 4)).reshape(-1)
 
 
+def _depth_clusters(pz, pv):
+    """Static per-chunk 2-cluster split at the largest 1/z gap.
+
+    (G, Hp, Wp) z/valid planes -> (G, Hp, Wp) 0/1 labels. Displacement
+    tracks 1/z (u = x*f/z + ...), so the largest disparity gap separates
+    the two surfaces of a chunk straddling a depth edge — whose UNION
+    displacement window is mostly empty work at every pose (and
+    overflows the budget on hard edges). Splitting routes each chunk as
+    two tight per-cluster windows; uniform-depth chunks produce an empty
+    cluster 1 (strict > threshold at the max) and route as one entry.
+    """
+    g, hp, wp = pz.shape
+    inv = 1.0 / (pz + 1e-7)
+    nc_y, nc_x = hp // CHUNK_H, wp // CHUNK_W
+    cv = inv.reshape(g, nc_y, CHUNK_H, nc_x, CHUNK_W)
+    mk = (pv > 0.0).reshape(g, nc_y, CHUNK_H, nc_x, CHUNK_W)
+    cv = jnp.transpose(cv, (0, 1, 3, 2, 4)).reshape(-1, CHUNK_H * CHUNK_W)
+    mk = jnp.transpose(mk, (0, 1, 3, 2, 4)).reshape(-1, CHUNK_H * CHUNK_W)
+    # invalid points inherit the chunk's valid min so they never form
+    # the largest gap (their label is irrelevant — they are masked out)
+    lo = jnp.min(jnp.where(mk, cv, jnp.inf), axis=1, keepdims=True)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    vals = jnp.where(mk, cv, lo)
+    s = jnp.sort(vals, axis=1)
+    gaps = s[:, 1:] - s[:, :-1]
+    i = jnp.argmax(gaps, axis=1)
+    take = lambda a: jnp.take_along_axis(a, i[:, None], axis=1)[:, 0]
+    thresh = 0.5 * (take(s[:, :-1]) + take(s[:, 1:]))
+    cl = (vals > thresh[:, None]).astype(jnp.float32)
+    cl = cl.reshape(g, nc_y, nc_x, CHUNK_H, CHUNK_W)
+    cl = jnp.transpose(cl, (0, 1, 3, 2, 4)).reshape(g, hp, wp)
+    return cl
+
+
 def _build_banded_kernel(d, height, width, per_grid, wc):
     """Fused zee + degrid + accumulate with banded static-x placement."""
     bh, bw = _BH, _BW
@@ -175,8 +211,9 @@ def _build_banded_kernel(d, height, width, per_grid, wc):
         tox = tx * TILE_W - _HALO_LO
 
         def get_dma(slot, j):
+            # routing entries are (chunk, depth-cluster) pairs: e=cid*2+cl
             return pltpu.make_async_copy(
-                rec_hbm.at[ids_ref[start + j]], rec_vmem.at[slot],
+                rec_hbm.at[ids_ref[start + j] // 2], rec_vmem.at[slot],
                 copy_sem.at[slot])
 
         def stream(body):
@@ -198,18 +235,25 @@ def _build_banded_kernel(d, height, width, per_grid, wc):
             lax.fori_loop(0, cnt, loop, 0)
 
         def chunk_meta(j):
-            cid = ids_ref[start + j]
+            e = ids_ref[start + j]
+            cid = e // 2
+            want = e - 2 * cid
             m1 = meta1_ref[start + j]
             m2 = meta2_ref[start + j]
             base_dy = m1 >> 16
             base_dx = ((m1 & 0xffff) ^ 0x8000) - 0x8000
             y_cnt = (m2 >> 8) & 0xff
             xw_cnt = m2 & 0xff
-            return cid, base_dy, base_dx, y_cnt, xw_cnt
+            return cid, want, base_dy, base_dx, y_cnt, xw_cnt
 
-        def chunk_fields(slot):
+        def chunk_fields(slot, want):
+            """Cluster-1 rdy rows carry the +_CLMARK label offset (see
+            render_grids_banded); subtracting want*_CLMARK restores this
+            entry's own cluster and pushes the sibling's points (and the
+            _RSENT invalids) out of any window match range."""
             rec = rec_vmem
-            rdyi = rec[slot, 0:CHUNK_H, :].astype(jnp.int32)
+            rdyi = (rec[slot, 0:CHUNK_H, :].astype(jnp.int32)
+                    - want * _CLMARK)
             rdxi = rec[slot, CHUNK_H:2 * CHUNK_H, :].astype(jnp.int32)
             fx = rec[slot, 2 * CHUNK_H:3 * CHUNK_H, :]
             fy = rec[slot, 3 * CHUNK_H:4 * CHUNK_H, :]
@@ -235,9 +279,9 @@ def _build_banded_kernel(d, height, width, per_grid, wc):
                 pl.ds(xbase, 4 * CHUNK_W)] = merge(cur, blk)
 
         def window_loop(j, body):
-            """Run body(dly, xw_px, rdx_shift) over the chunk's clamped
+            """Run body(dly, xw_px, rdx_shift) over the entry's clamped
             (y-value, x-window) iteration space."""
-            cid, base_dy, base_dx, y_cnt, xw_cnt = chunk_meta(j)
+            cid, _, base_dy, base_dx, y_cnt, xw_cnt = chunk_meta(j)
             py_base = (cid % per_grid) // wc * CHUNK_H + base_dy - toy
             px_base = (cid % wc) * CHUNK_W + base_dx - tox
             dly_lo = jnp.maximum(0, -CHUNK_H + 1 - py_base)
@@ -261,7 +305,8 @@ def _build_banded_kernel(d, height, width, per_grid, wc):
 
         # ---- pass A: raw zee via banded nearest-corner min-merges ----
         def zee_chunk(slot, j):
-            rdyi, rdxi, fx, fy, kk = chunk_fields(slot)
+            want = chunk_meta(j)[1]
+            rdyi, rdxi, fx, fy, kk = chunk_fields(slot, want)
             rdyn = rdyi + (fy > 0.5)
             rdxn = rdxi + (fx > 0.5)
 
@@ -294,7 +339,8 @@ def _build_banded_kernel(d, height, width, per_grid, wc):
         acc_buf[:, :] = jnp.zeros((d * bh, bw), jnp.float32)
 
         def acc_chunk(slot, j):
-            rdyi, rdxi, fx, fy, kk = chunk_fields(slot)
+            want = chunk_meta(j)[1]
+            rdyi, rdxi, fx, fy, kk = chunk_fields(slot, want)
 
             def body(dly, py, px, xs):
                 rdl = rdxi - xs
@@ -380,14 +426,15 @@ def _build_banded_wide_kernel(n_g, height, width, per_grid, wc):
         tox = tx * TILE_W - _HALO_LO
 
         def geom_dma(slot, j):
+            # routing entries are (chunk, depth-cluster) pairs: e=cid*2+cl
             return pltpu.make_async_copy(
-                rec_hbm.at[ids_ref[start + j], pl.ds(0, geom_rows)],
+                rec_hbm.at[ids_ref[start + j] // 2, pl.ds(0, geom_rows)],
                 rec_vmem.at[slot, pl.ds(0, geom_rows)],
                 copy_sem.at[slot, 0])
 
         def grp_dma(slot, j):
             return pltpu.make_async_copy(
-                rec_hbm.at[ids_ref[start + j],
+                rec_hbm.at[ids_ref[start + j] // 2,
                            pl.ds(geom_rows + g * grp_rows, grp_rows)],
                 rec_vmem.at[slot, pl.ds(geom_rows, grp_rows)],
                 copy_sem.at[slot, 1])
@@ -421,18 +468,22 @@ def _build_banded_wide_kernel(n_g, height, width, per_grid, wc):
             lax.fori_loop(0, cnt, loop, 0)
 
         def chunk_meta(j):
-            cid = ids_ref[start + j]
+            e = ids_ref[start + j]
+            cid = e // 2
+            want = e - 2 * cid
             m1 = meta1_ref[start + j]
             m2 = meta2_ref[start + j]
             base_dy = m1 >> 16
             base_dx = ((m1 & 0xffff) ^ 0x8000) - 0x8000
             y_cnt = (m2 >> 8) & 0xff
             xw_cnt = m2 & 0xff
-            return cid, base_dy, base_dx, y_cnt, xw_cnt
+            return cid, want, base_dy, base_dx, y_cnt, xw_cnt
 
-        def chunk_fields(slot):
+        def chunk_fields(slot, want):
+            # cluster-1 rdy carries +_CLMARK (see render_grids_banded)
             rec = rec_vmem
-            rdyi = rec[slot, 0:CHUNK_H, :].astype(jnp.int32)
+            rdyi = (rec[slot, 0:CHUNK_H, :].astype(jnp.int32)
+                    - want * _CLMARK)
             rdxi = rec[slot, CHUNK_H:2 * CHUNK_H, :].astype(jnp.int32)
             fx = rec[slot, 2 * CHUNK_H:3 * CHUNK_H, :]
             fy = rec[slot, 3 * CHUNK_H:4 * CHUNK_H, :]
@@ -463,7 +514,7 @@ def _build_banded_wide_kernel(n_g, height, width, per_grid, wc):
                     pl.ds(xbase, 4 * CHUNK_W)] = cur + blk
 
         def window_loop(j, body):
-            cid, base_dy, base_dx, y_cnt, xw_cnt = chunk_meta(j)
+            cid, _, base_dy, base_dx, y_cnt, xw_cnt = chunk_meta(j)
             py_base = (cid % per_grid) // wc * CHUNK_H + base_dy - toy
             px_base = (cid % wc) * CHUNK_W + base_dx - tox
             dly_lo = jnp.maximum(0, -CHUNK_H + 1 - py_base)
@@ -487,7 +538,8 @@ def _build_banded_wide_kernel(n_g, height, width, per_grid, wc):
         @pl.when(g == 0)
         def _():
             def zee_chunk(slot, j):
-                rdyi, rdxi, fx, fy, kk = chunk_fields(slot)
+                rdyi, rdxi, fx, fy, kk = chunk_fields(slot,
+                                                      chunk_meta(j)[1])
                 rdyn = rdyi + (fy > 0.5)
                 rdxn = rdxi + (fx > 0.5)
 
@@ -521,7 +573,7 @@ def _build_banded_wide_kernel(n_g, height, width, per_grid, wc):
         acc_buf[:, :, :] = jnp.zeros((_GRP, bh, bw), jnp.float32)
 
         def acc_chunk(slot, j):
-            rdyi, rdxi, fx, fy, kk = chunk_fields(slot)
+            rdyi, rdxi, fx, fy, kk = chunk_fields(slot, chunk_meta(j)[1])
 
             def body(dly, py, px, xs):
                 rdl = rdxi - xs
@@ -633,12 +685,25 @@ def render_grids_banded(
     pad_dy = jnp.pad(jnp.where(ok, dyf, 0.0), padding)
     pad_dx = jnp.pad(jnp.where(ok, dxf, 0.0), padding)
 
-    # per-chunk valid-masked floor-displacement bounds -> bases + ranges
+    # static depth-cluster labels: routing ENTRIES are (chunk, cluster)
+    # pairs e = cid*2 + cl, so edge-straddling chunks iterate two tight
+    # windows instead of one union window (see _depth_clusters)
+    pad_z = jnp.pad(xyz[..., 2].astype(jnp.float32), padding)
+    clp = _depth_clusters(pad_z, okp.astype(jnp.float32))
+
+    # per-entry valid-masked floor-displacement bounds -> bases + ranges
     big = jnp.float32(3e38)
-    dy_lo = _chunk_minmax(pad_dy, okp, jnp.min, big)
-    dy_hi = _chunk_minmax(pad_dy, okp, jnp.max, -big)
-    dx_lo = _chunk_minmax(pad_dx, okp, jnp.min, big)
-    dx_hi = _chunk_minmax(pad_dx, okp, jnp.max, -big)
+
+    def cluster_bounds(okc):
+        return (_chunk_minmax(pad_dy, okc, jnp.min, big),
+                _chunk_minmax(pad_dy, okc, jnp.max, -big),
+                _chunk_minmax(pad_dx, okc, jnp.min, big),
+                _chunk_minmax(pad_dx, okc, jnp.max, -big))
+
+    b0 = cluster_bounds(okp & (clp == 0.0))
+    b1 = cluster_bounds(okp & (clp == 1.0))
+    dy_lo, dy_hi, dx_lo, dx_hi = [
+        jnp.stack([a, b], axis=1).reshape(-1) for a, b in zip(b0, b1)]
     empty = dy_lo > 1e38
     base_dy = jnp.where(empty, 0.0, dy_lo).astype(jnp.int32)
     base_dx = jnp.where(empty, 0.0, dx_lo).astype(jnp.int32)
@@ -648,7 +713,7 @@ def render_grids_banded(
     # residuals 0..spread_x+1
     y_cnt_full = jnp.maximum(spread_y + 2, 0)
     xw_cnt_full = jnp.where(empty, 0, (spread_x + 1) // BAND_W + 1)
-    # per-chunk work bound: window-rows the kernel would iterate. Chunks
+    # per-entry work bound: window-rows the kernel would iterate. Entries
     # over the limit (or past the 8-bit meta packing) are excluded from
     # routing below and flagged as overflow — this also turns what used
     # to be a silent 255-clip truncation into a reported condition.
@@ -661,17 +726,21 @@ def render_grids_banded(
     meta1 = (base_dy << 16) | (base_dx & 0xffff)
     meta2 = (y_cnt << 8) | xw_cnt
 
-    # rebased residual planes (sentinel for invalid points)
+    # residual planes rebased against each point's OWN cluster base;
+    # cluster-1 rdy carries +_CLMARK so an entry's kernel pass can mask
+    # the sibling cluster out (sentinel for invalid points)
     nc_y = hp // CHUNK_H
     nc_x = wp // CHUNK_W
 
-    def bcast(per_chunk):
-        return jnp.repeat(
-            jnp.repeat(per_chunk.reshape(g, nc_y, nc_x).astype(jnp.float32),
-                       CHUNK_H, axis=1), CHUNK_W, axis=2)
+    def bcast2(per_entry):
+        pe = per_entry.reshape(g, nc_y, nc_x, 2).astype(jnp.float32)
+        exp = lambda a: jnp.repeat(jnp.repeat(a, CHUNK_H, axis=1),
+                                   CHUNK_W, axis=2)
+        return jnp.where(clp == 0.0, exp(pe[..., 0]), exp(pe[..., 1]))
 
-    rdy = jnp.where(okp, pad_dy - bcast(base_dy), float(_RSENT))
-    rdx = jnp.where(okp, pad_dx - bcast(base_dx), float(_RSENT))
+    rdy = jnp.where(okp, pad_dy - bcast2(base_dy) + float(_CLMARK) * clp,
+                    float(_RSENT))
+    rdx = jnp.where(okp, pad_dx - bcast2(base_dx), float(_RSENT))
     pad_fx = jnp.pad(fx, padding)
     pad_fy = jnp.pad(fy, padding)
     pad_k = jnp.pad(keyp, padding, constant_values=_BIG)
@@ -700,8 +769,11 @@ def render_grids_banded(
                     constant_values=-1e9)
     pad_v = jnp.pad(jnp.where(ok, v, -1e9).astype(jnp.float32), padding,
                     constant_values=-1e9)
-    minu, maxu, minv, maxv = _chunk_boxes(pad_u, pad_v, okp)
-    # over-limit chunks hit no tile (empty bbox) — kernel never sees them
+    bx0 = _chunk_boxes(pad_u, pad_v, okp & (clp == 0.0))
+    bx1 = _chunk_boxes(pad_u, pad_v, okp & (clp == 1.0))
+    minu, maxu, minv, maxv = [
+        jnp.stack([a, b], axis=1).reshape(-1) for a, b in zip(bx0, bx1)]
+    # over-limit entries hit no tile (empty bbox) — kernel never sees them
     minu = jnp.where(overwork, _INF, minu)
     maxu = jnp.where(overwork, -_INF, maxu)
     chunk_ids, offsets, csr_overflow, _dropped = _build_csr(

@@ -59,6 +59,7 @@ from kbe_tpu.ops.splat_banded import (
     _RGH,
     _RGW,
     _RSENT,
+    _depth_clusters,
     _shift_band,
 )
 
@@ -108,15 +109,24 @@ def _degrid_zee_raw(zee, inimg, bh, bw):
 class BandedScene(NamedTuple):
     """Pose-invariant render state, packed once per video.
 
-    ``records``: (NC, (4 + C) * 8, 128) chunk records — row layout
-    x(8), y(8), z(8), valid(8), payload ch0(8) .. chC-1(8).
+    ``records``: (NC, (5 + C) * 8, 128) chunk records — row layout
+    x(8), y(8), z(8), valid(8), cluster(8), payload ch0(8) .. chC-1(8).
     x and y are PRE-SCALED by z/(z+1e-7): apply_shift (ops/geometry.py:
     168-182) materializes that multiply before adding the shift, and
     materializing it here too keeps the kernel's ``x + sx`` a lone f32
     add — otherwise the compiler may contract mul+add into an fma and
     flip floor() at corner boundaries vs the scatter spec.
-    ``px/py/pz/pv``: (G, Hp, Wp) padded planes (same pre-scaling), kept
-    for the per-frame bounds prepass (reductions fuse into reads).
+
+    ``cluster``: static 0/1 depth-cluster label per point (largest
+    1/z-gap split per chunk). A chunk that straddles a depth edge has a
+    displacement spread spanning BOTH surfaces at every pose, so its
+    window iteration is mostly empty work (and overflows the budget on
+    hard edges); splitting by z — pose-invariant — routes it as two
+    tight per-cluster windows instead. Chunks with uniform depth get one
+    occupied cluster and route exactly as before.
+
+    ``px/py/pz/pv/pcl``: (G, Hp, Wp) padded planes (same pre-scaling),
+    kept for the per-frame bounds prepass (reductions fuse into reads).
     ``xx0/yy0``: (NC,) f32 pixel-column/row origin of each chunk.
     """
 
@@ -125,15 +135,16 @@ class BandedScene(NamedTuple):
     py: jax.Array
     pz: jax.Array
     pv: jax.Array
+    pcl: jax.Array
     xx0: jax.Array
     yy0: jax.Array
 
 
-def _pack_static_records(px, py, pz, pv, pay):
+def _pack_static_records(px, py, pz, pv, pcl, pay):
     """Planes (G, Hp, Wp) + payload (G, Hp, Wp, C) -> (NC, R, 128)."""
     g, hp, wp = px.shape
     c = pay.shape[-1]
-    planes = [px, py, pz, pv] + [pay[..., i] for i in range(c)]
+    planes = [px, py, pz, pv, pcl] + [pay[..., i] for i in range(c)]
     stacked = jnp.stack(planes, axis=0)
     p = stacked.shape[0]
     stacked = stacked.reshape(p, g, hp // CHUNK_H, CHUNK_H, wp // CHUNK_W,
@@ -163,15 +174,16 @@ def prepare_banded_scene(xyz: jax.Array, data: jax.Array,
     pz = jnp.pad(z, padding)
     pv = jnp.pad((valid > 0.0).astype(jnp.float32), padding)
     pad_pay = jnp.pad(data.astype(jnp.float32), padding + ((0, 0),))
+    pcl = _depth_clusters(pz, pv)
 
-    records = _pack_static_records(px, py, pz, pv, pad_pay)
+    records = _pack_static_records(px, py, pz, pv, pcl, pad_pay)
 
     nc_y = hp // CHUNK_H
     nc_x = wp // CHUNK_W
     cid = jnp.arange(g * nc_y * nc_x, dtype=jnp.int32)
     yy0 = (((cid % (nc_y * nc_x)) // nc_x) * CHUNK_H).astype(jnp.float32)
     xx0 = ((cid % nc_x) * CHUNK_W).astype(jnp.float32)
-    return BandedScene(records, px, py, pz, pv, xx0, yy0)
+    return BandedScene(records, px, py, pz, pv, pcl, xx0, yy0)
 
 
 def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False):
@@ -215,8 +227,9 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False):
         fb = pose_ref[4]  # focal * baseline
 
         def get_dma(slot, j):
+            # routing entries are (chunk, cluster) pairs: e = cid*2 + cl
             return pltpu.make_async_copy(
-                rec_hbm.at[ids_ref[start + j]], rec_vmem.at[slot],
+                rec_hbm.at[ids_ref[start + j] // 2], rec_vmem.at[slot],
                 copy_sem.at[slot])
 
         def stream(body):
@@ -238,31 +251,37 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False):
             lax.fori_loop(0, cnt, loop, 0)
 
         def chunk_meta(j):
-            cid = ids_ref[start + j]
+            e = ids_ref[start + j]
+            cid = e // 2
+            want = e - 2 * cid  # cluster bit
             m1 = meta1_ref[start + j]
             m2 = meta2_ref[start + j]
             base_dy = m1 >> 16
             base_dx = ((m1 & 0xffff) ^ 0x8000) - 0x8000
             y_cnt = (m2 >> 8) & 0xff
             xw_cnt = m2 & 0xff
-            return cid, base_dy, base_dx, y_cnt, xw_cnt
+            return cid, want, base_dy, base_dx, y_cnt, xw_cnt
 
         def chunk_fields(slot, j):
-            """Per-pose projection of this chunk's static records:
+            """Per-pose projection of this entry's static records:
             (rdyi, rdxi, fx, fy, kk) exactly as splat_banded's prepass
-            computes them (ops/splat_banded.py:622-677)."""
-            cid, base_dy, base_dx, _, _ = chunk_meta(j)
+            computes them (ops/splat_banded.py:622-677); points of the
+            OTHER depth cluster get the sentinel residual (they belong
+            to the sibling entry)."""
+            cid, want, base_dy, base_dx, _, _ = chunk_meta(j)
             rec = rec_vmem
             x = rec[slot, 0:CHUNK_H, :]
             y = rec[slot, CHUNK_H:2 * CHUNK_H, :]
             z = rec[slot, 2 * CHUNK_H:3 * CHUNK_H, :]
             val = rec[slot, 3 * CHUNK_H:4 * CHUNK_H, :]
+            cl = rec[slot, 4 * CHUNK_H:5 * CHUNK_H, :]
 
             # x, y arrive pre-scaled by z/(z+1e-7) (see BandedScene)
             xs_ = x + sx
             ys_ = y + sy
             zs = z + sz
-            ok = (zs >= _ZMIN) & (val > 0.0)
+            ok = ((zs >= _ZMIN) & (val > 0.0)
+                  & (cl == want.astype(jnp.float32)))
             safez = jnp.where(ok, zs, 1.0)
             u = (xs_ * focal / safez + hw) - 0.5
             v = (ys_ * focal / safez + hh) - 0.5
@@ -307,7 +326,7 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False):
                 pl.ds(xbase, 4 * CHUNK_W)] = merge(cur, blk)
 
         def window_loop(j, body):
-            cid, base_dy, base_dx, y_cnt, xw_cnt = chunk_meta(j)
+            cid, _, base_dy, base_dx, y_cnt, xw_cnt = chunk_meta(j)
             py_base = (cid % per_grid) // wc * CHUNK_H + base_dy - toy
             px_base = (cid % wc) * CHUNK_W + base_dx - tox
             dly_lo = jnp.maximum(0, -CHUNK_H + 1 - py_base)
@@ -406,7 +425,7 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False):
                     w = jnp.where(vis, wy * wx, 0.0)
                     for ch in range(c):
                         pay = rec_vmem[slot,
-                                       (4 + ch) * CHUNK_H:(5 + ch)
+                                       (5 + ch) * CHUNK_H:(6 + ch)
                                        * CHUNK_H, :]
                         bands[ch] = bands[ch] + _shift_band(
                             w * pay, s, 0.0)
@@ -461,10 +480,16 @@ def pose_routing(
     work_limit: int = 256,
     overflow_cap: int = 0,
 ) -> PoseRouting:
-    """The per-pose XLA prepass: chunk displacement bounds -> meta packing
-    + CSR tile routing (separated from the kernel so it can be profiled
-    and batched over poses independently)."""
-    px, py, pz, pv = scene.px, scene.py, scene.pz, scene.pv
+    """The per-pose XLA prepass: per-(chunk, depth-cluster) displacement
+    bounds -> meta packing + CSR tile routing (separated from the kernel
+    so it can be profiled and batched over poses independently).
+
+    Routing ENTRIES are (chunk, cluster) pairs: entry e = cid * 2 + cl.
+    An edge chunk routes as two tight windows instead of one straddling
+    window; an unoccupied cluster produces an empty entry that routes
+    nowhere.
+    """
+    px, py, pz, pv, pcl = scene.px, scene.py, scene.pz, scene.pv, scene.pcl
     g, hp, wp = px.shape
     sx, sy, sz = shift[0], shift[1], shift[2]
     focal = jnp.asarray(focal, jnp.float32)
@@ -486,10 +511,19 @@ def pose_routing(
     cdy = v - yyg
 
     big = jnp.float32(3e38)
-    dx_lo = _chunk_red(cdx, okb, jnp.min, big)
-    dx_hi = _chunk_red(cdx, okb, jnp.max, -big)
-    dy_lo = _chunk_red(cdy, okb, jnp.min, big)
-    dy_hi = _chunk_red(cdy, okb, jnp.max, -big)
+
+    def cluster_bounds(want):
+        ok_c = okb & (pcl == want)
+        return (_chunk_red(cdx, ok_c, jnp.min, big),
+                _chunk_red(cdx, ok_c, jnp.max, -big),
+                _chunk_red(cdy, ok_c, jnp.min, big),
+                _chunk_red(cdy, ok_c, jnp.max, -big))
+
+    # (NC, 2) entry-minor stacking -> entry id = cid * 2 + cluster
+    b0 = cluster_bounds(0.0)
+    b1 = cluster_bounds(1.0)
+    dx_lo, dx_hi, dy_lo, dy_hi = [
+        jnp.stack([a, b], axis=1).reshape(-1) for a, b in zip(b0, b1)]
     empty = dx_lo > 1e37
 
     base_dx = jnp.floor(dx_lo - _EPS)
@@ -511,22 +545,27 @@ def pose_routing(
     meta1 = (base_dy << 16) | (base_dx & 0xffff)
     meta2 = (y_cnt << 8) | xw_cnt
 
-    # --- CSR routing from conservative chunk bboxes
-    minu = jnp.where(empty | overwork, _INF, dx_lo - _EPS + scene.xx0)
+    # --- CSR routing from conservative per-entry bboxes
+    exx0 = jnp.repeat(scene.xx0, 2)
+    eyy0 = jnp.repeat(scene.yy0, 2)
+    minu = jnp.where(empty | overwork, _INF, dx_lo - _EPS + exx0)
     maxu = jnp.where(empty | overwork, -_INF,
-                     dx_hi + _EPS + scene.xx0 + (CHUNK_W - 1))
-    minv = jnp.where(empty | overwork, _INF, dy_lo - _EPS + scene.yy0)
+                     dx_hi + _EPS + exx0 + (CHUNK_W - 1))
+    minv = jnp.where(empty | overwork, _INF, dy_lo - _EPS + eyy0)
     maxv = jnp.where(empty | overwork, -_INF,
-                     dy_hi + _EPS + scene.yy0 + (CHUNK_H - 1))
+                     dy_hi + _EPS + eyy0 + (CHUNK_H - 1))
 
     nc = scene.records.shape[0]
     n_ty = -(-height // TILE_H)
     n_tx = -(-width // TILE_W)
+    # capacity stays proportional to NC, not entries: per-entry bboxes
+    # partition each chunk's points, so total tile coverage is at most a
+    # little above the unsplit routing's (and far below it on edges)
     capacity = int(capacity_factor) * nc
     chunk_ids, offsets, csr_overflow, _dropped = _build_csr(
         minu, maxu, minv, maxv, n_ty, n_tx, capacity, TILE_H, TILE_W)
     if overflow_cap > 0:
-        # overwork chunks are rendered EXACTLY by the bounded per-chunk
+        # overwork entries are rendered EXACTLY by the bounded per-chunk
         # scatter epilogue (render_scene_posed); only beyond-cap counts
         # as a real overflow
         n_over = jnp.sum(overwork.astype(jnp.int32))
@@ -541,25 +580,32 @@ def pose_routing(
 
 def _overflow_points(scene: BandedScene, routing: PoseRouting, shift,
                      focal, baseline, height, width, c):
-    """Project the overwork chunks' points with the SPEC's expression
+    """Project the overwork entries' points with the SPEC's expression
     tree (apply_shift ∘ project_points ∘ splat_error, ops/splat.py /
     ops/geometry.py) — their handling must be bit-equal to the scatter
-    renderer's. Returns (u, v, err, ok, payload (M, c))."""
+    renderer's. Entries are (chunk, cluster) pairs; only the entry's own
+    cluster contributes (the sibling routes normally or via its own
+    entry). Returns (u, v, err, ok, payload (M, c))."""
     from kbe_tpu.ops.geometry import project_points, splat_error
 
     cap = routing.over_ids.shape[0]
-    recs = jnp.take(scene.records, routing.over_ids, axis=0)
-    planes = recs.reshape(cap, 4 + c, CHUNK_H, CHUNK_W)
+    cid = routing.over_ids // 2
+    want = (routing.over_ids - 2 * cid).astype(jnp.float32)
+    recs = jnp.take(scene.records, cid, axis=0)
+    planes = recs.reshape(cap, 5 + c, CHUNK_H, CHUNK_W)
     x = planes[:, 0].reshape(-1)   # pre-scaled by z/(z+1e-7), exactly
     y = planes[:, 1].reshape(-1)   # what apply_shift materializes
     z = planes[:, 2].reshape(-1)
     val = planes[:, 3].reshape(-1)
-    pay = jnp.moveaxis(planes[:, 4:], 1, -1).reshape(-1, c)
+    cl = planes[:, 4].reshape(-1)
+    pay = jnp.moveaxis(planes[:, 5:], 1, -1).reshape(-1, c)
     xyz_sh = jnp.stack([x + shift[0], y + shift[1], z + shift[2]], -1)
     u, v, ok = project_points(xyz_sh, height, width, focal)
-    slot_ok = (jnp.arange(cap, dtype=jnp.int32)
-               < routing.n_over)[:, None].repeat(CHUNK_H * CHUNK_W, 1)
-    ok = ok & (val > 0.0) & slot_ok.reshape(-1)
+    per = jnp.repeat(
+        (jnp.arange(cap, dtype=jnp.int32) < routing.n_over), CHUNK_H
+        * CHUNK_W)
+    want_per = jnp.repeat(want, CHUNK_H * CHUNK_W)
+    ok = ok & (val > 0.0) & per & (cl == want_per)
     err = splat_error(xyz_sh[..., 2], focal, baseline)
     return u, v, err, ok, pay
 
@@ -599,7 +645,7 @@ def render_scene_posed(
         interpret = jax.default_backend() != "tpu"
     px = scene.px
     g, hp, wp = px.shape
-    c = scene.records.shape[1] // CHUNK_H - 4
+    c = scene.records.shape[1] // CHUNK_H - 5
     d = c + 1
     sx, sy, sz = shift[0], shift[1], shift[2]
     focal = jnp.asarray(focal, jnp.float32)
@@ -652,7 +698,7 @@ def render_scene_posed(
     nc_y = hp // CHUNK_H
     nc_x = wp // CHUNK_W
     scratch = [
-        pltpu.VMEM((2, (4 + c) * CHUNK_H, CHUNK_W), jnp.float32),
+        pltpu.VMEM((2, (5 + c) * CHUNK_H, CHUNK_W), jnp.float32),
         pltpu.VMEM((_BH, _BW), jnp.float32),
         pltpu.VMEM((d * _BH, _BW), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),

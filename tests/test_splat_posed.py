@@ -143,3 +143,42 @@ def test_posed_overflow_cap_noop_when_in_budget():
     assert not bool(ovf1) and not bool(ovf2)
     np.testing.assert_array_equal(np.asarray(plain_r), np.asarray(cap_r))
     np.testing.assert_array_equal(np.asarray(plain_e), np.asarray(cap_e))
+
+
+def test_posed_depth_cluster_split_avoids_overwork():
+    # a hard depth edge inside chunks: the union displacement window
+    # would blow a small work budget, but the static z-cluster split
+    # (prepare_banded_scene) routes two tight per-cluster windows —
+    # no overwork entries, exact render
+    from kbe_tpu.ops.splat_posed import pose_routing
+
+    h, w, focal, baseline = 48, 256, 100.0, 40.0
+    rng = np.random.default_rng(21)
+    depth = np.full((h, w), 60.0, np.float32)
+    depth[16:32, 64:192] = 20.0  # near slab crossing many chunks
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    z = depth
+    x = (xx - w / 2.0) * z / focal
+    y = (yy - h / 2.0) * z / focal
+    xyz = jnp.asarray(np.stack([x, y, z], -1))[None]
+    data = jnp.asarray(rng.uniform(0, 1, (1, h, w, 4)).astype(np.float32))
+    valid = jnp.ones((1, h, w), jnp.float32)
+    shift = jnp.asarray((3.0, 2.0, 0.0), jnp.float32)
+
+    scene = prepare_banded_scene(xyz, data, valid)
+    routing = pose_routing(scene, shift, focal, h, w, work_limit=16,
+                           overflow_cap=64)
+    # displacement gap between the slab (f*sx/20 = 15px) and background
+    # (5px) spans ~10px: unsplit work would be ~12*2 > 16; per-cluster
+    # spreads are ~0
+    assert int(routing.n_over) == 0
+    got_r, got_e, ovf = render_scene_posed(scene, shift, focal, h, w,
+                                           baseline, work_limit=16,
+                                           overflow_cap=64)
+    assert not bool(ovf)
+    want_r, want_e = _scatter(apply_shift(xyz, shift), data, valid, h, w,
+                              focal, baseline)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=2e-4)
