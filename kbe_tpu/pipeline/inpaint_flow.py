@@ -88,11 +88,12 @@ def pointcloud_inpainting(
             # ops/layout.py); lossless for bf16-mode context nets
             context = relayout(context)
         payload = jnp.concatenate([image_n, disp_n, context], axis=-1)
-        # the cloud is the single pixel grid (overflow is out of reach
-        # for a one-grid bootstrap shift; 'clip' keeps the scatter graph
-        # out of the compiled program). 'banded' streams the 68-channel
-        # payload through the wide banded kernel in groups of 8 —
-        # much faster than the routed one-hot pass it replaces.
+        # the cloud is the single pixel grid; with the depth-cluster
+        # entry split even hard-edge chunks stay inside the work budget,
+        # and 'clip' keeps the scatter graph out of the compiled program.
+        # 'banded' streams the 68-channel payload through the wide banded
+        # kernel in groups of 8 — much faster than the routed one-hot
+        # pass it replaces.
         if splat_method in ("scatter", "sorted"):
             from kbe_tpu.ops.splat import render_pointcloud
 

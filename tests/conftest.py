@@ -31,14 +31,36 @@ if not os.environ.get("KBE_TESTS_ALLOW_TPU"):
 # splat/fill/net programs every run — with the cache, re-runs start from
 # compiled binaries. Disable with KBE_TESTS_NO_CACHE=1 (e.g. when timing
 # cold compiles).
+#
+# The cache is scoped PER HOST CPU: XLA:CPU AOT executables bake the
+# compile machine's feature set, and loading an entry produced on a
+# different microarchitecture can SIGILL/segfault outright (observed:
+# avx512-set mismatch across round hosts). The key hashes
+# platform.processor + the cpuinfo flags line.
 if not os.environ.get("KBE_TESTS_NO_CACHE"):
+    import hashlib
+    import platform
+
     import jax
+
+    def _host_cpu_key():
+        sig = platform.processor() + platform.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        sig += line
+                        break
+        except OSError:
+            pass
+        return hashlib.sha1(sig.encode()).hexdigest()[:12]
 
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
             os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache_tests"))
+                os.path.abspath(__file__))), ".jax_cache_tests",
+                _host_cpu_key()))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
