@@ -69,7 +69,9 @@ def run_bench(size: int, steps: int, repeats: int):
     # for the banded renderer and is flagged in the JSON.
     ckpt = find_bench_weights()
     if ckpt:
-        params = load_pipeline_params(ckpt)
+        # device_put ONCE: the restored checkpoint is host numpy; leaving
+        # it as args would re-upload ~350 MB through the tunnel per call
+        params = jax.device_put(load_pipeline_params(ckpt))
         image = jnp.asarray(demo_scene_image(size, size),
                             jnp.float32)[None]
         weights = "trained-synthetic"

@@ -83,33 +83,59 @@ def main():
     spec_fn = jax.jit(build_effect_fn(h, w, zoom, pipe.camera, spec_effect,
                                       dtype=jnp.float32))
 
+    # dtype-isolating row: the SAME production kernels (posed/banded +
+    # Pallas fill) with f32 nets — any delta vs spec here is the kernels'
+    # own, while bench-vs-this isolates the bf16 net cost
+    kern_fn = jax.jit(build_effect_fn(h, w, zoom, pipe.camera,
+                                      bench_effect, dtype=jnp.float32,
+                                      with_stats=True))
+
     t0 = time.time()
     bench_frames, stats = jax.block_until_ready(bench_fn(params, image))
     t_bench = time.time() - t0
     t0 = time.time()
     spec_frames = jax.block_until_ready(spec_fn(params, image))
     t_spec = time.time() - t0
+    t0 = time.time()
+    kern_frames, kstats = jax.block_until_ready(kern_fn(params, image))
+    t_kern = time.time() - t0
 
-    bf = np.asarray(bench_frames, np.float64) / 255.0
     sf = np.asarray(spec_frames, np.float64) / 255.0
-    ssims = [float(ssim(jnp.asarray(bf[i][None], jnp.float32),
-                        jnp.asarray(sf[i][None], jnp.float32)))
-             for i in range(n_steps)]
+
+    def vs_spec(frames):
+        bf = np.asarray(frames, np.float64) / 255.0
+        ssims = [float(ssim(jnp.asarray(bf[i][None], jnp.float32),
+                            jnp.asarray(sf[i][None], jnp.float32)))
+                 for i in range(n_steps)]
+        return {
+            "mean_ssim": float(np.mean(ssims)),
+            "min_ssim": float(np.min(ssims)),
+            "per_frame_ssim": [round(s, 5) for s in ssims],
+            "max_abs_diff_uint8": float(np.max(np.abs(bf - sf)) * 255.0),
+            "mean_abs_diff_uint8": float(np.mean(np.abs(bf - sf)) * 255.0),
+        }
+
+    bench_row = vs_spec(bench_frames)
+    kern_row = vs_spec(kern_frames)
     report = {
         "size": size,
         "n_steps": n_steps,
-        "bench_path": "splat=posed/banded fill=pallas dtype=bfloat16",
         "spec_path": "splat=scatter fill=xla dtype=float32",
-        "mean_ssim": float(np.mean(ssims)),
-        "min_ssim": float(np.min(ssims)),
-        "per_frame_ssim": [round(s, 5) for s in ssims],
-        "max_abs_diff_uint8": float(np.max(np.abs(bf - sf)) * 255.0),
-        "mean_abs_diff_uint8": float(np.mean(np.abs(bf - sf)) * 255.0),
+        "bench_path": "splat=posed/banded fill=pallas dtype=bfloat16 "
+                      "(bench.py's configuration)",
+        **bench_row,
+        "kernels_f32_path": {
+            "config": "splat=posed/banded fill=pallas dtype=float32 — "
+                      "same kernels, f32 nets; isolates the bf16 net "
+                      "cost from the kernel fidelity",
+            **kern_row,
+            "splat_overflow_frames": int(kstats["splat_overflow_frames"]),
+        },
         "splat_overflow_frames": int(stats["splat_overflow_frames"]),
-        "scene": "random weights (no fetchable checkpoints offline) — "
-                 "adversarial depth for the banded renderer; see README",
+        "scene": scene,
         "wall_s": {"bench_path": round(t_bench, 1),
-                   "spec_path": round(t_spec, 1)},
+                   "spec_path": round(t_spec, 1),
+                   "kernels_f32_path": round(t_kern, 1)},
     }
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
