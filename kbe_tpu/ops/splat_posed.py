@@ -186,7 +186,8 @@ def prepare_banded_scene(xyz: jax.Array, data: jax.Array,
     return BandedScene(records, px, py, pz, pv, pcl, xx0, yy0)
 
 
-def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False):
+def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False,
+                        passes="ab"):
     """Fused zee + degrid + accumulate; per-pose geometry in-register.
 
     ``with_extra``: the bounded-overflow variant — the z-buffer is seeded
@@ -194,6 +195,11 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False):
     scatter-min contribution) instead of the hole sentinel, and the
     DEGRIDDED z-buffer is written out per tile so the epilogue can run
     the spec's visibility test for the overflow points' accumulation.
+
+    ``passes``: PROFILING ONLY — "a" streams just the zee pass (the
+    accumulator stays zero), "b" just the accumulate pass against a
+    sentinel z-buffer (everything visible). Output is wrong for either;
+    "ab" (default) is the renderer.
     """
     d = c + 1
     bh, bw = _BH, _BW
@@ -376,17 +382,18 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False):
             cpz.wait()
         else:
             zee_buf[:, :] = jnp.full((bh, bw), _BIG, jnp.float32)
-        stream(zee_chunk)
+        if "a" in passes:
+            stream(zee_chunk)
 
-        # ---- degrid on the 2D buffer (raw-domain spec averaging) ----
-        zee = zee_buf[:, :]
-        by_iota = lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
-        bx_iota = lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
-        gy_img = by_iota - PAD_Y + toy
-        gx_img = bx_iota - PAD_X + tox
-        inimg = ((gy_img >= 0) & (gy_img < height) & (gx_img >= 0)
-                 & (gx_img < width))
-        zee_buf[:, :] = _degrid_zee_raw(zee, inimg, bh, bw)
+            # ---- degrid on the 2D buffer (raw-domain spec averaging) ----
+            zee = zee_buf[:, :]
+            by_iota = lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+            bx_iota = lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+            gy_img = by_iota - PAD_Y + toy
+            gx_img = bx_iota - PAD_X + tox
+            inimg = ((gy_img >= 0) & (gy_img < height) & (gx_img >= 0)
+                     & (gx_img < width))
+            zee_buf[:, :] = _degrid_zee_raw(zee, inimg, bh, bw)
         if with_extra:
             cpz2 = pltpu.make_async_copy(zee_buf, zee_out.at[t], zee_sem)
             cpz2.start()
@@ -438,7 +445,8 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False):
 
             window_loop(j, body)
 
-        stream(acc_chunk)
+        if "b" in passes:
+            stream(acc_chunk)
 
         cp = pltpu.make_async_copy(acc_buf, out_ref.at[t], out_sem)
         cp.start()
@@ -612,7 +620,8 @@ def _overflow_points(scene: BandedScene, routing: PoseRouting, shift,
 
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "capacity_factor",
-                              "work_limit", "interpret", "overflow_cap"))
+                              "work_limit", "interpret", "overflow_cap",
+                              "passes"))
 def render_scene_posed(
     scene: BandedScene,
     shift: jax.Array,
@@ -625,6 +634,7 @@ def render_scene_posed(
     interpret: bool | None = None,
     routing: PoseRouting | None = None,
     overflow_cap: int = 0,
+    passes: str = "ab",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Render a prepared scene at one camera pose.
 
@@ -716,7 +726,7 @@ def render_scene_posed(
         scratch_shapes=scratch,
     )
     kernel = _build_posed_kernel(c, height, width, nc_y * nc_x, nc_x,
-                                 with_extra)
+                                 with_extra, passes)
     if with_extra:
         out_shape = [
             jax.ShapeDtypeStruct((t, d * _BH, _BW), jnp.float32),

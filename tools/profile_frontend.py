@@ -1,10 +1,14 @@
-"""Per-stage timing of the CNN front-end at full resolution.
+"""Frontend sub-stage attribution on the trained bench scene.
 
-Times: half-res resize, Semantics (VGG19-bn), Disparity grid-net, Refine,
-and one pointcloud_inpainting bootstrap call, each as its own jitted
-call on the real chip (dispatch adds ~30 ms; stage costs are 100s of ms
-so the split stays meaningful). Usage:
-python tools/profile_frontend.py [size] [dtype]
+bench.py's 1024^2 video spends ~0.37 s before the pose loop; this
+breaks that down: semantics/disparity (half-res), refine (full-res),
+then per inpaint extension the context net, the 68-channel banded
+bootstrap render, the median-filtered coverage mask, and the inpaint
+grid-net. Each stage is timed as its own jitted program (so stage
+boundaries are real device fences; the fused pipeline overlaps some of
+this, making the sum an upper bound on the fused cost).
+
+Usage: python tools/profile_frontend.py [size]
 """
 
 import os
@@ -19,34 +23,45 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, reps=4):
+def timeit(fn, *args, reps=5):
     out = jax.block_until_ready(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
+    del out
     return min(ts) * 1e3
 
 
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    dtype = jnp.bfloat16 if (len(sys.argv) > 2 and
-                             sys.argv[2] == "bf16") else jnp.float32
     h = w = size
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-    from kbe_tpu.config import CameraConfig, EffectConfig
+    from kbe_tpu.config import CameraConfig
     from kbe_tpu.models import Disparity, Inpaint, Refine, Semantics
     from kbe_tpu.models.gridnet import ContextNet
-    from kbe_tpu.ops.geometry import disparity_to_depth
+    from kbe_tpu.models.layers import normalize_sample
+    from kbe_tpu.ops.filters import median_filter
+    from kbe_tpu.ops.layout import relayout
     from kbe_tpu.ops.resize import resize_to_max
-    from kbe_tpu.pipeline.inpaint_flow import (InpaintModels,
-                                               pointcloud_inpainting)
+    from kbe_tpu.ops.splat_banded import render_grids_fast_banded
+    from kbe_tpu.ops.geometry import (depth_to_points, disparity_to_depth)
+    from kbe_tpu.ops.filters import validity_mask
+    from kbe_tpu.train.checkpoint import (find_bench_weights,
+                                          load_pipeline_params)
+    from kbe_tpu.train.data import demo_scene_image
 
     camera = CameraConfig()
-    effect = EffectConfig()
-    rng = jax.random.PRNGKey(0)
-    image = jax.random.uniform(rng, (1, h, w, 3), jnp.float32)
+    dtype = jnp.bfloat16
+    ckpt = find_bench_weights()
+    assert ckpt, "run tools/make_bench_weights.py first"
+    params = jax.device_put(load_pipeline_params(ckpt))
+    image = jnp.asarray(demo_scene_image(h, w), jnp.float32)[None]
 
     sem_def = Semantics(dtype=dtype)
     disp_def = Disparity(dtype=dtype)
@@ -54,49 +69,54 @@ def main():
     ctx_def = ContextNet(dtype=dtype)
     inp_def = Inpaint(dtype=dtype)
 
-    half = np.asarray(resize_to_max(image, size // 2))
-    k = jax.random.split(rng, 5)
-    p_sem = sem_def.init(k[0], half)
-    sem = np.asarray(sem_def.apply(p_sem, half))
-    p_disp = disp_def.init(k[1], half, sem)
-    p_ref = refine_def.init(k[2], image,
-                            disp_def.apply(p_disp, half, sem))
-    disp_half = np.asarray(disp_def.apply(p_disp, half, sem))
+    resized = jax.jit(lambda im: resize_to_max(im, max(h, w) // 2))(image)
 
-    print(f"== frontend profile, size {size}, dtype "
-          f"{jnp.dtype(dtype).name} ==")
-    f_resize = jax.jit(lambda im: resize_to_max(im, size // 2))
-    print(f"resize half:     {timeit(f_resize, image):8.2f} ms")
-    f_sem = jax.jit(sem_def.apply)
-    print(f"semantics(VGG):  {timeit(f_sem, p_sem, half):8.2f} ms")
-    f_disp = jax.jit(disp_def.apply)
-    print(f"disparity net:   {timeit(f_disp, p_disp, half, sem):8.2f} ms")
-    f_ref = jax.jit(refine_def.apply)
-    print(f"refine net:      {timeit(f_ref, p_ref, image, disp_half):8.2f}"
-          " ms")
+    f_sem = jax.jit(lambda im: sem_def.apply(params.semantics, im))
+    semantics = jax.block_until_ready(f_sem(resized))
+    f_disp = jax.jit(lambda im, s: disp_def.apply(params.disparity, im, s))
+    disp_half = jax.block_until_ready(f_disp(resized, semantics))
+    f_ref = jax.jit(lambda im, d: refine_def.apply(params.refine, im, d))
+    disparity = jax.block_until_ready(f_ref(image, disp_half))
+    disparity = disparity - jnp.minimum(jnp.min(disparity), 0.0)
+    disparity = disparity / jnp.max(disparity) * camera.baseline
 
-    # one inpainting bootstrap call (of the two in the frontend)
-    refined = refine_def.apply(p_ref, image, disp_half)
-    refined = refined - jnp.minimum(jnp.min(refined), 0.0)
-    disparity = refined / jnp.max(refined) * camera.baseline
-    p_ctx = ctx_def.init(k[3], image, disparity)
-    ctx = ctx_def.apply(p_ctx, image, disparity)
-    data = jnp.concatenate([image, disparity / camera.baseline, ctx], -1)
-    p_inp = inp_def.init(k[4], data, jnp.ones((1, h, w, 1), jnp.float32))
+    print(f"semantics (half-res): {timeit(f_sem, resized):8.1f} ms")
+    print(f"disparity (half-res): {timeit(f_disp, resized, semantics):8.1f} ms")
+    print(f"refine  (full-res):   {timeit(f_ref, image, disp_half):8.1f} ms")
 
-    def _net_apply(params, data, masks):
-        img, dsp = inp_def.apply(params, data, masks)
-        return img, dsp, masks
+    image_n, _ = normalize_sample(image)
+    disp_n, _ = normalize_sample(disparity)
 
-    models = InpaintModels(context=partial(ctx_def.apply, p_ctx),
-                           net=partial(_net_apply, p_inp))
-    shift = jnp.asarray([80.0, 80.0, 0.0], jnp.float32)
+    f_ctx = jax.jit(lambda a, b: relayout(
+        ctx_def.apply(params.context, a, b)))
+    context = jax.block_until_ready(f_ctx(image_n, disp_n))
+    print(f"context (full-res):   {timeit(f_ctx, image_n, disp_n):8.1f} ms")
 
-    f_boot = jax.jit(lambda im, dsp: pointcloud_inpainting(
-        models, im, dsp, shift, camera, camera.focal,
-        effect.validity_threshold, splat_method="banded",
-        relayout_context=(dtype == jnp.bfloat16)))
-    print(f"inpaint boot:    {timeit(f_boot, image, disparity):8.2f} ms")
+    depth = disparity_to_depth(disparity, camera.focal, camera.baseline)
+    valid = validity_mask(disparity, 0.03)
+    points = depth_to_points((depth * valid)[..., 0], camera.focal)
+    shift = jnp.asarray([20.0, 10.0, 5.0], jnp.float32)
+
+    payload = jnp.concatenate([image_n, disp_n, context], axis=-1)
+
+    f_render = jax.jit(lambda pts, pay: render_grids_fast_banded(
+        (pts + shift).reshape(1, h, w, 3), pay.reshape(1, h, w, -1),
+        h, w, camera.focal, camera.baseline))
+    render, weight = jax.block_until_ready(f_render(points, payload))
+    print(f"bootstrap render 68ch:{timeit(f_render, points, payload):8.1f} ms")
+
+    f_med = jax.jit(lambda wgt: median_filter(
+        (wgt > 0.0).astype(jnp.float32), 5))
+    _ = jax.block_until_ready(f_med(weight))
+    print(f"median filter:        {timeit(f_med, weight):8.1f} ms")
+
+    existing = (weight > 0.0).astype(jnp.float32)
+    existing = existing * f_med(weight)
+    masked = render * existing
+
+    f_inp = jax.jit(lambda r, e: inp_def.apply(params.inpaint, r, e))
+    _ = jax.block_until_ready(f_inp(masked, existing))
+    print(f"inpaint net:          {timeit(f_inp, masked, existing):8.1f} ms")
 
 
 if __name__ == "__main__":
