@@ -71,26 +71,28 @@ def main():
 
     resized = jax.jit(lambda im: resize_to_max(im, max(h, w) // 2))(image)
 
-    f_sem = jax.jit(lambda im: sem_def.apply(params.semantics, im))
-    semantics = jax.block_until_ready(f_sem(resized))
-    f_disp = jax.jit(lambda im, s: disp_def.apply(params.disparity, im, s))
-    disp_half = jax.block_until_ready(f_disp(resized, semantics))
-    f_ref = jax.jit(lambda im, d: refine_def.apply(params.refine, im, d))
-    disparity = jax.block_until_ready(f_ref(image, disp_half))
+    # params as ARGS, not jit-captured constants: constants embed in
+    # the HLO and overflow the axon remote-compile request (HTTP 413)
+    f_sem = jax.jit(lambda p, im: sem_def.apply(p, im))
+    semantics = jax.block_until_ready(f_sem(params.semantics, resized))
+    f_disp = jax.jit(lambda p, im, s: disp_def.apply(p, im, s))
+    disp_half = jax.block_until_ready(
+        f_disp(params.disparity, resized, semantics))
+    f_ref = jax.jit(lambda p, im, d: refine_def.apply(p, im, d))
+    disparity = jax.block_until_ready(f_ref(params.refine, image, disp_half))
     disparity = disparity - jnp.minimum(jnp.min(disparity), 0.0)
     disparity = disparity / jnp.max(disparity) * camera.baseline
 
-    print(f"semantics (half-res): {timeit(f_sem, resized):8.1f} ms")
-    print(f"disparity (half-res): {timeit(f_disp, resized, semantics):8.1f} ms")
-    print(f"refine  (full-res):   {timeit(f_ref, image, disp_half):8.1f} ms")
+    print(f"semantics (half-res): {timeit(f_sem, params.semantics, resized):8.1f} ms")
+    print(f"disparity (half-res): {timeit(f_disp, params.disparity, resized, semantics):8.1f} ms")
+    print(f"refine  (full-res):   {timeit(f_ref, params.refine, image, disp_half):8.1f} ms")
 
     image_n, _ = normalize_sample(image)
     disp_n, _ = normalize_sample(disparity)
 
-    f_ctx = jax.jit(lambda a, b: relayout(
-        ctx_def.apply(params.context, a, b)))
-    context = jax.block_until_ready(f_ctx(image_n, disp_n))
-    print(f"context (full-res):   {timeit(f_ctx, image_n, disp_n):8.1f} ms")
+    f_ctx = jax.jit(lambda p, a, b: relayout(ctx_def.apply(p, a, b)))
+    context = jax.block_until_ready(f_ctx(params.context, image_n, disp_n))
+    print(f"context (full-res):   {timeit(f_ctx, params.context, image_n, disp_n):8.1f} ms")
 
     depth = disparity_to_depth(disparity, camera.focal, camera.baseline)
     valid = validity_mask(disparity, 0.03)
@@ -114,9 +116,9 @@ def main():
     existing = existing * f_med(weight)
     masked = render * existing
 
-    f_inp = jax.jit(lambda r, e: inp_def.apply(params.inpaint, r, e))
-    _ = jax.block_until_ready(f_inp(masked, existing))
-    print(f"inpaint net:          {timeit(f_inp, masked, existing):8.1f} ms")
+    f_inp = jax.jit(lambda p_, r, e: inp_def.apply(p_, r, e))
+    _ = jax.block_until_ready(f_inp(params.inpaint, masked, existing))
+    print(f"inpaint net:          {timeit(f_inp, params.inpaint, masked, existing):8.1f} ms")
 
 
 if __name__ == "__main__":
