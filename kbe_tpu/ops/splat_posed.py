@@ -53,6 +53,7 @@ from kbe_tpu.ops.splat_banded import (
     PAD_Y,
     TILE_H,
     TILE_W,
+    _BH,
     _BW,
     _HALO_LO,
     _RGH,
@@ -64,19 +65,6 @@ from kbe_tpu.ops.splat_banded import (
 
 _EPS = 5e-3   # prepass-vs-kernel f32 divergence margin (see module doc)
 _ZMIN = 1e-3  # z cutoff of the reference kernels (utils/common.py:453-455)
-
-# Fast-path visit geometry: a routed entry whose whole window block fits
-# one BAND_W x-window and <= _FAST_Y displacement rows (the overwhelming
-# majority after the depth-cluster split — census: y_cnt p95 == 7,
-# xw_cnt == 1 for ~95% of visits) accumulates its rows into a small VMEM
-# local and merges into the tile buffers ONCE per visit instead of once
-# per window — the per-window (16, 512) read-roll-merge traffic was the
-# dominant kernel cost (~55% of pass B).
-_FAST_Y = 8
-# the fast path's one-merge blocks span 2 extra CHUNK_H rows vs the
-# per-window placements, so the posed buffers carry one more row margin
-# than splat_banded's _BH
-_BHP = _ceil_to(_RGH + PAD_Y + 2 * CHUNK_H, CHUNK_H)
 
 
 def _degrid_zee_raw(zee, inimg, bh, bw):
@@ -214,7 +202,7 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False,
     "ab" (default) is the renderer.
     """
     d = c + 1
-    bh, bw = _BHP, _BW
+    bh, bw = _BH, _BW
     rgh, rgw = _RGH, _RGW
     # two-step constants: geometry.project_points evaluates
     # ``x*f/z + (0.5*w) - 0.5`` left-to-right; folding the adds would
@@ -226,10 +214,10 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False,
                *rest):
         if with_extra:
             (extra_hbm, out_ref, zee_out, rec_vmem, zee_buf, acc_buf,
-             loc_buf, zloc_buf, copy_sem, out_sem, zee_sem) = rest
+             copy_sem, out_sem, zee_sem) = rest
         else:
-            (out_ref, rec_vmem, zee_buf, acc_buf, loc_buf, zloc_buf,
-             copy_sem, out_sem) = rest
+            (out_ref, rec_vmem, zee_buf, acc_buf, copy_sem,
+             out_sem) = rest
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         t = ty * pl.num_programs(1) + tx
@@ -343,43 +331,6 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False,
             buf[pl.ds(row_off + ybase, 2 * CHUNK_H),
                 pl.ds(xbase, 4 * CHUNK_W)] = merge(cur, blk)
 
-        def visit_base(j):
-            """Fast-path eligibility + aligned merge window of a visit.
-
-            Fast when the entry's WHOLE window block is a single BAND_W
-            x-window of <= _FAST_Y rows fully inside the placeable range
-            (so the slow path's dly/xw clamps would be no-ops): the visit
-            then accumulates in a VMEM local and merges into the tile
-            buffers once, instead of one (16, 512) read-roll-merge per
-            window."""
-            cid, _, base_dy, base_dx, y_cnt, xw_cnt = chunk_meta(j)
-            py_base = (cid % per_grid) // wc * CHUNK_H + base_dy - toy
-            px_base = (cid % wc) * CHUNK_W + base_dx - tox
-            fast = ((y_cnt <= _FAST_Y) & (xw_cnt == 1)
-                    & (py_base >= -CHUNK_H + 1)
-                    & (py_base + y_cnt <= rgh)
-                    & (px_base >= -2 * CHUNK_W + 1)
-                    & (px_base <= rgw - 1))
-            by0 = py_base + PAD_Y
-            bx0 = px_base + PAD_X
-            ybase = (by0 // CHUNK_H) * CHUNK_H
-            xbase = (bx0 // (2 * CHUNK_W)) * (2 * CHUNK_W)
-            return fast, ybase, xbase, by0 - ybase, bx0 - xbase
-
-        def merge_wide(buf, row0, ybase, xbase, oy, ox, block, merge,
-                       fill):
-            """Merge a (16, 256) visit block into ``buf`` via ONE aligned
-            (24, 512) RMW (the rolled block never wraps: oy < 8,
-            ox < 256)."""
-            blk = jnp.pad(block, ((0, CHUNK_H), (0, 2 * CHUNK_W)),
-                          constant_values=fill)
-            blk = pltpu.roll(blk, oy, axis=0)
-            blk = pltpu.roll(blk, ox, axis=1)
-            cur = buf[pl.ds(row0 + ybase, 3 * CHUNK_H),
-                      pl.ds(xbase, 4 * CHUNK_W)]
-            buf[pl.ds(row0 + ybase, 3 * CHUNK_H),
-                pl.ds(xbase, 4 * CHUNK_W)] = merge(cur, blk)
-
         def window_loop(j, body):
             cid, _, base_dy, base_dx, y_cnt, xw_cnt = chunk_meta(j)
             py_base = (cid % per_grid) // wc * CHUNK_H + base_dy - toy
@@ -406,44 +357,18 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False,
             rdyi, rdxi, fx, fy, kk = chunk_fields(slot, j)
             rdyn = rdyi + (fy > 0.5)
             rdxn = rdxi + (fx > 0.5)
-            fast, ybase, xbase, oy, ox = visit_base(j)
 
-            @pl.when(fast)
-            def _():
-                zloc_buf[:, :] = jnp.full((2 * CHUNK_H, 2 * CHUNK_W),
-                                          _DISQ, jnp.float32)
-                for dly in range(_FAST_Y):
-                    my = rdyn == dly
+            def body(dly, py, px, xs):
+                rdl = rdxn - xs
+                my = rdyn == dly
+                band = jnp.full((CHUNK_H, 2 * CHUNK_W), _DISQ, jnp.float32)
+                for s in range(BAND_W):
+                    vals = jnp.where(my & (rdl == s), kk, _DISQ)
+                    band = jnp.minimum(band, _shift_band(vals, s, _DISQ))
+                place(zee_buf, 0, py + PAD_Y, px + PAD_X, band,
+                      jnp.minimum, _DISQ)
 
-                    @pl.when(jnp.max(my.astype(jnp.int32)) > 0)
-                    def _(my=my, dly=dly):
-                        band = jnp.full((CHUNK_H, 2 * CHUNK_W), _DISQ,
-                                        jnp.float32)
-                        for s in range(BAND_W):
-                            vals = jnp.where(my & (rdxn == s), kk, _DISQ)
-                            band = jnp.minimum(
-                                band, _shift_band(vals, s, _DISQ))
-                        cur = zloc_buf[dly:dly + CHUNK_H, :]
-                        zloc_buf[dly:dly + CHUNK_H, :] = jnp.minimum(cur,
-                                                                     band)
-                merge_wide(zee_buf, 0, ybase, xbase, oy, ox,
-                           zloc_buf[:, :], jnp.minimum, _DISQ)
-
-            @pl.when(jnp.logical_not(fast))
-            def _():
-                def body(dly, py, px, xs):
-                    rdl = rdxn - xs
-                    my = rdyn == dly
-                    band = jnp.full((CHUNK_H, 2 * CHUNK_W), _DISQ,
-                                    jnp.float32)
-                    for s in range(BAND_W):
-                        vals = jnp.where(my & (rdl == s), kk, _DISQ)
-                        band = jnp.minimum(band,
-                                           _shift_band(vals, s, _DISQ))
-                    place(zee_buf, 0, py + PAD_Y, px + PAD_X, band,
-                          jnp.minimum, _DISQ)
-
-                window_loop(j, body)
+            window_loop(j, body)
 
         # hole sentinel == the spec's _ZFAR (raw domain); the overflow
         # variant seeds from the overwork chunks' scatter-min plane so
@@ -479,12 +404,24 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False,
 
         def acc_chunk(slot, j):
             rdyi, rdxi, fx, fy, kk = chunk_fields(slot, j)
-            fast, ybase_f, xbase_f, oy_f, ox_f = visit_base(j)
 
-            def lane_bands(rdl, wy, zband):
-                """The BAND_W one-hot x-lanes: weights + z-test + payload
-                accumulation into d (8, 256) bands (shared by both
-                paths)."""
+            def body(dly, py, px, xs):
+                rdl = rdxi - xs
+                wy = ((rdyi == dly).astype(jnp.float32) * (1.0 - fy)
+                      + (rdyi == dly - 1).astype(jnp.float32) * fy)
+
+                by = py + PAD_Y
+                bx = px + PAD_X
+                ybase = (by // CHUNK_H) * CHUNK_H
+                xbase = (bx // (2 * CHUNK_W)) * (2 * CHUNK_W)
+                oy = by - ybase
+                ox = bx - xbase
+                zwin = zee_buf[pl.ds(ybase, 2 * CHUNK_H),
+                               pl.ds(xbase, 4 * CHUNK_W)]
+                zwin = pltpu.roll(zwin, -oy, axis=0)
+                zband = pltpu.roll(zwin, -ox,
+                                   axis=1)[:CHUNK_H, :2 * CHUNK_W]
+
                 bands = [jnp.zeros((CHUNK_H, 2 * CHUNK_W), jnp.float32)
                          for _ in range(d)]
                 for s in range(BAND_W):
@@ -502,60 +439,11 @@ def _build_posed_kernel(c, height, width, per_grid, wc, with_extra=False,
                     # ones channel: invalid points carry zero weight
                     # (their sentinel residual fails the wy mask)
                     bands[d - 1] = bands[d - 1] + _shift_band(w, s, 0.0)
-                return bands
-
-            @pl.when(fast)
-            def _():
-                # the visit's whole z window, read + aligned once:
-                # zslab[r, c] == zee_buf[by0 + r, bx0 + c]
-                zslab = zee_buf[pl.ds(ybase_f, 3 * CHUNK_H),
-                                pl.ds(xbase_f, 4 * CHUNK_W)]
-                zslab = pltpu.roll(zslab, -oy_f, axis=0)
-                zslab = pltpu.roll(zslab, -ox_f, axis=1)
-                loc_buf[:, :] = jnp.zeros(
-                    (d * 2 * CHUNK_H, 2 * CHUNK_W), jnp.float32)
-                for dly in range(_FAST_Y):
-                    wy = ((rdyi == dly).astype(jnp.float32) * (1.0 - fy)
-                          + (rdyi == dly - 1).astype(jnp.float32) * fy)
-
-                    @pl.when(jnp.max(wy) > 0.0)
-                    def _(wy=wy, dly=dly):
-                        zband = zslab[dly:dly + CHUNK_H, :2 * CHUNK_W]
-                        bands = lane_bands(rdxi, wy, zband)
-                        for ch in range(d):
-                            r0 = ch * 2 * CHUNK_H + dly
-                            cur = loc_buf[r0:r0 + CHUNK_H, :]
-                            loc_buf[r0:r0 + CHUNK_H, :] = cur + bands[ch]
                 for ch in range(d):
-                    merge_wide(acc_buf, ch * bh, ybase_f, xbase_f, oy_f,
-                               ox_f,
-                               loc_buf[ch * 2 * CHUNK_H:
-                                       (ch + 1) * 2 * CHUNK_H, :],
-                               lambda cu, bl: cu + bl, 0.0)
+                    place(acc_buf, ch * bh, by, bx, bands[ch],
+                          lambda cu, bl: cu + bl, 0.0)
 
-            @pl.when(jnp.logical_not(fast))
-            def _():
-                def body(dly, py, px, xs):
-                    wy = ((rdyi == dly).astype(jnp.float32) * (1.0 - fy)
-                          + (rdyi == dly - 1).astype(jnp.float32) * fy)
-
-                    by = py + PAD_Y
-                    bx = px + PAD_X
-                    ybase = (by // CHUNK_H) * CHUNK_H
-                    xbase = (bx // (2 * CHUNK_W)) * (2 * CHUNK_W)
-                    oy = by - ybase
-                    ox = bx - xbase
-                    zwin = zee_buf[pl.ds(ybase, 2 * CHUNK_H),
-                                   pl.ds(xbase, 4 * CHUNK_W)]
-                    zwin = pltpu.roll(zwin, -oy, axis=0)
-                    zband = pltpu.roll(zwin, -ox,
-                                       axis=1)[:CHUNK_H, :2 * CHUNK_W]
-                    bands = lane_bands(rdxi - xs, wy, zband)
-                    for ch in range(d):
-                        place(acc_buf, ch * bh, by, bx, bands[ch],
-                              lambda cu, bl: cu + bl, 0.0)
-
-                window_loop(j, body)
+            window_loop(j, body)
 
         if "b" in passes:
             stream(acc_chunk)
@@ -794,7 +682,7 @@ def render_scene_posed(
     if with_extra:
         from kbe_tpu.ops.splat import _zee_pass
 
-        rows = (n_ty - 1) * TILE_H + _BHP
+        rows = (n_ty - 1) * TILE_H + _BH
         lanes = (n_tx - 1) * TILE_W + _BW
         oy = PAD_Y + _HALO_LO
         ox = PAD_X + _HALO_LO
@@ -821,10 +709,8 @@ def render_scene_posed(
     nc_x = wp // CHUNK_W
     scratch = [
         pltpu.VMEM((2, (5 + c) * CHUNK_H, CHUNK_W), jnp.float32),
-        pltpu.VMEM((_BHP, _BW), jnp.float32),
-        pltpu.VMEM((d * _BHP, _BW), jnp.float32),
-        pltpu.VMEM((d * 2 * CHUNK_H, 2 * CHUNK_W), jnp.float32),
-        pltpu.VMEM((2 * CHUNK_H, 2 * CHUNK_W), jnp.float32),
+        pltpu.VMEM((_BH, _BW), jnp.float32),
+        pltpu.VMEM((d * _BH, _BW), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA(()),
     ]
@@ -843,8 +729,8 @@ def render_scene_posed(
                                  with_extra, passes)
     if with_extra:
         out_shape = [
-            jax.ShapeDtypeStruct((t, d * _BHP, _BW), jnp.float32),
-            jax.ShapeDtypeStruct((t, _BHP, _BW), jnp.float32),
+            jax.ShapeDtypeStruct((t, d * _BH, _BW), jnp.float32),
+            jax.ShapeDtypeStruct((t, _BH, _BW), jnp.float32),
         ]
         acc_flat, zee_flat = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
@@ -854,13 +740,12 @@ def render_scene_posed(
     else:
         acc_flat = pl.pallas_call(
             kernel, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((t, d * _BHP, _BW),
-                                           jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((t, d * _BH, _BW), jnp.float32),
             interpret=interpret,
         )(offsets, chunk_ids, jnp.take(meta1, chunk_ids),
           jnp.take(meta2, chunk_ids), pose, scene.records)
 
-    acc = acc_flat.reshape(n_ty, n_tx, d, _BHP, _BW)
+    acc = acc_flat.reshape(n_ty, n_tx, d, _BH, _BW)
     y0c = PAD_Y + _HALO_LO
     x0c = PAD_X + _HALO_LO
     core = acc[:, :, :, y0c:y0c + TILE_H, x0c:x0c + TILE_W]
@@ -868,7 +753,7 @@ def render_scene_posed(
         n_ty * TILE_H, n_tx * TILE_W, d)[:height, :width]
 
     if with_extra:
-        zee_cores = zee_flat.reshape(n_ty, n_tx, _BHP, _BW)[
+        zee_cores = zee_flat.reshape(n_ty, n_tx, _BH, _BW)[
             :, :, y0c:y0c + TILE_H, x0c:x0c + TILE_W]
         zee_degrid = jnp.transpose(zee_cores, (0, 2, 1, 3)).reshape(
             n_ty * TILE_H, n_tx * TILE_W)[:height, :width]
