@@ -16,6 +16,7 @@ from kbe_tpu.ops.geometry import (
 from kbe_tpu.ops.filters import (
     laplacian_filter,
     median_filter,
+    median_filter_binary,
     spatial_filter,
     validity_mask,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "solve_shift",
     "laplacian_filter",
     "median_filter",
+    "median_filter_binary",
     "spatial_filter",
     "validity_mask",
     "render_pointcloud",

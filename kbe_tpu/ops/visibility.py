@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from kbe_tpu.ops.filters import median_filter
+from kbe_tpu.ops.filters import median_filter_binary
 from kbe_tpu.ops.geometry import project_points, splat_error
 from kbe_tpu.ops.splat import _flat_index, _neighbor_weights
 
@@ -71,4 +71,5 @@ def generate_mask(
     masks = jax.vmap(
         lambda p: _mask_single(p, height, width, focal, baseline))(shifted)
     masks = masks.reshape(-1, height, width, 1)
-    return median_filter(masks, 5)
+    # binary mask: the majority-vote fast path is bit-identical
+    return median_filter_binary(masks, 5)

@@ -68,6 +68,16 @@ def test_filters_match_torch(kind):
         np.transpose(np.asarray(got), (0, 3, 1, 2)), want, atol=1e-5)
 
 
+@pytest.mark.parametrize("size", [3, 5])
+def test_median_filter_binary_matches_sort(size):
+    from kbe_tpu.ops.filters import median_filter_binary
+
+    x = (rng(7).uniform(size=(2, 21, 19, 1)) < 0.45).astype(np.float32)
+    want = np.asarray(median_filter(jnp.asarray(x), size))
+    got = np.asarray(median_filter_binary(jnp.asarray(x), size))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_validity_mask_binary():
     x = rng(2).uniform(1.0, 40.0, (1, 16, 16, 1)).astype(np.float32)
     m = np.asarray(validity_mask(jnp.asarray(x)))
