@@ -5,23 +5,62 @@ reference's fixed effect is 75 frames per video and the north-star target
 is 75 x 1024^2 frames end-to-end (depth -> refine -> inpaint-extend ->
 render+fill all 75 poses) in < 1 s on one chip, i.e. baseline 75 frames/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-1024^2 headline, with extra keys: per-size frames/s ("fps_512",
-"fps_1024"), end-to-end latency seconds, and the measurement size actually
-used ("size" — 1024 unless that size failed to run, in which case
-"fallback" records the error class and the headline value is 0.0 rather
-than silently reporting a smaller size).
+Output protocol (designed to survive a driver timeout): a complete JSON
+line is printed after EVERY completed measurement, progressively richer —
+512^2 first, then the 1024^2 headline. Each line carries the full schema
+{"metric", "value", "unit", "vs_baseline"} plus per-size keys ("fps_512",
+"fps_1024", latencies) and a "phase" marker showing what the process was
+doing when the line was emitted. The LAST printed line is authoritative;
+if the process is killed mid-compile the previously printed lines still
+record everything measured so far. SIGTERM/SIGINT (what `timeout` sends
+first) additionally trigger a final salvage emission.
 
-Environment knobs: KBE_BENCH_SIZE (default 1024; "both" also measures
-512), KBE_BENCH_STEPS (75), KBE_BENCH_REPEATS (3).
+The headline "value" is 0.0 until the 1024^2 measurement lands — a
+smaller size is never silently promoted to the headline.
+
+Environment knobs: KBE_BENCH_SIZE (default "both" = 512 then 1024),
+KBE_BENCH_STEPS (75), KBE_BENCH_REPEATS (3), KBE_BENCH_BUDGET_S (default
+480: skip starting any new measurement once this much wall-clock is
+spent, emitting what exists instead of being killed mid-run).
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_T0 = time.time()
+_BASELINE_FPS = 75.0  # north star: 75 frames < 1 s on one chip
+_OUT = {
+    "metric": "kbe_frames_per_sec_1024",
+    "value": 0.0,
+    "unit": "frames/s/chip",
+    "vs_baseline": 0.0,
+    "size": 1024,
+    "phase": "starting",
+}
+
+
+def emit():
+    _OUT["elapsed_s"] = round(time.time() - _T0, 1)
+    print(json.dumps(_OUT), flush=True)
+
+
+def _on_term(signum, frame):
+    _OUT["phase"] = f"killed_by_signal_{signum}_during_{_OUT['phase']}"
+    emit()
+    os._exit(0)
+
+
+def _budget() -> float:
+    return float(os.environ.get("KBE_BENCH_BUDGET_S", "480"))
+
+
+def _remaining() -> float:
+    return _budget() - (time.time() - _T0)
 
 
 def _enable_compile_cache():
@@ -30,7 +69,8 @@ def _enable_compile_cache():
     The 1024^2 effect program (75-pose loop with Pallas kernels + the
     inpaint bootstrap nets) takes minutes to compile cold; the cache makes
     any repeat invocation — including a fresh process — start from the
-    compiled binary instead.
+    compiled binary instead. The round-end freeze protocol (README) keeps
+    this cache warm for the program as last committed.
     """
     import jax
 
@@ -92,8 +132,10 @@ def run_bench(size: int, steps: int, repeats: int):
         # tunnel backend — force synchronization with a scalar host fetch.
         return float(jnp.sum(frames[:, ::128, ::128, 0]))
 
+    _OUT["phase"] = f"compiling_{size}"
     run_once()  # compile + warmup
 
+    _OUT["phase"] = f"timing_{size}"
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -105,48 +147,57 @@ def run_bench(size: int, steps: int, repeats: int):
 
 
 def main():
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
     _enable_compile_cache()
-    size_env = os.environ.get("KBE_BENCH_SIZE", "1024")
+    size_env = os.environ.get("KBE_BENCH_SIZE", "both")
     steps = int(os.environ.get("KBE_BENCH_STEPS", "75"))
     repeats = int(os.environ.get("KBE_BENCH_REPEATS", "3"))
 
-    sizes = [512, 1024] if size_env == "both" else [int(size_env)]
-    headline_size = sizes[-1]
+    if size_env == "both":
+        sizes = [512, 1024]
+    else:
+        sizes = [int(size_env)]
+    headline_size = 1024 if 1024 in sizes else sizes[-1]
+    _OUT["metric"] = f"kbe_frames_per_sec_{headline_size}"
+    _OUT["size"] = headline_size
 
-    baseline_fps = 75.0  # north star: 75 frames < 1 s on one chip
-    out = {}
-    fps = 0.0
     for size in sizes:
+        if size != headline_size and _remaining() < 120.0:
+            # protect the headline: skip warmup sizes when budget is tight
+            _OUT[f"skipped_{size}"] = "budget"
+            continue
+        if _remaining() <= 0.0:
+            _OUT["phase"] = f"budget_exhausted_before_{size}"
+            break
         try:
             f, latency, info = run_bench(size, steps, repeats)
-            out[f"fps_{size}"] = round(f, 3)
-            out[f"latency_s_{size}"] = round(latency, 4)
-            out[f"splat_overflow_frames_{size}"] = \
+            _OUT[f"fps_{size}"] = round(f, 3)
+            _OUT[f"latency_s_{size}"] = round(latency, 4)
+            _OUT[f"splat_overflow_frames_{size}"] = \
                 info["splat_overflow_frames"]
-            out["weights"] = info["weights"]
+            _OUT["weights"] = info["weights"]
             if size == headline_size:
-                fps = f
-            if os.environ.get("KBE_BENCH_STAGES"):
+                _OUT["value"] = round(f, 3)
+                _OUT["vs_baseline"] = round(f / _BASELINE_FPS, 4)
+            _OUT["phase"] = f"done_{size}"
+            emit()
+            if os.environ.get("KBE_BENCH_STAGES") and _remaining() > 60.0:
                 # stage split: a 2-step run isolates the fixed front-end
                 # (CNNs + inpaint bootstrap) from the per-frame loop cost
                 _, lat2, _ = run_bench(size, 2, repeats)
                 per_frame = max(latency - lat2, 0.0) / max(steps - 2, 1)
-                out[f"frame_ms_{size}"] = round(per_frame * 1e3, 2)
-                out[f"frontend_ms_{size}"] = round(
+                _OUT[f"frame_ms_{size}"] = round(per_frame * 1e3, 2)
+                _OUT[f"frontend_ms_{size}"] = round(
                     max(lat2 - 2 * per_frame, 0.0) * 1e3, 1)
+                emit()
         except Exception as e:  # report, never silently shrink the size
-            out[f"fallback_{size}"] = type(e).__name__
-            if size == headline_size:
-                fps = 0.0
+            _OUT[f"fallback_{size}"] = type(e).__name__
+            _OUT["phase"] = f"failed_{size}"
+            emit()
 
-    out.update({
-        "metric": f"kbe_frames_per_sec_{headline_size}",
-        "value": round(fps, 3),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(fps / baseline_fps, 4),
-        "size": headline_size,
-    })
-    print(json.dumps(out))
+    _OUT["phase"] = "complete"
+    emit()
 
 
 if __name__ == "__main__":

@@ -118,12 +118,18 @@ class EffectConfig:
     # distance > r + 0.58) and resolve with ~32*r vectorized shifted
     # compares; only tiles with unresolved pixels enter the phase-1
     # march. Bit-identical output (ops/discfill.py::resolve_thin_holes).
-    # Default OFF: it pays on noisy-depth scenes (thin scattered holes in
-    # every tile saturate the gated march: 22 -> ~7 ms/frame) but on
-    # realistic scenes the gated fill is already ~5 ms and the resolver's
-    # own full-image epilogue costs ~22 ms at 1024^2 (tools/diag_trained
-    # r04 attribution).
-    fill_phase0: int = 0
+    # It pays on noisy-depth scenes (thin scattered holes in every tile
+    # saturate the gated march: 22 -> ~7 ms/frame) but on realistic
+    # scenes the gated fill is already ~5 ms and the resolver's own
+    # full-image epilogue costs ~22 ms at 1024^2 — hence the census gate
+    # below decides per frame.
+    fill_phase0: int = 2
+    # Runtime census gate for phase 0 (0 = always run phase 0 when
+    # fill_phase0 > 0): the resolver runs only on frames where the
+    # fraction of hole-bearing fill tiles exceeds this — the saturated-
+    # march regime it wins in. Realistic scenes (few hole tiles) take the
+    # plain gated-march branch of the lax.cond at unchanged cost.
+    fill_phase0_gate: float = 0.25
     # 'pallas' (two-phase fused kernel, the default) or 'xla' (pure-XLA
     # march — slower on TPU but compiles fast and runs on any backend;
     # used by CPU-oracle tests).
@@ -138,8 +144,9 @@ class EffectConfig:
     # static-residual Pallas kernel (ops/splat_banded.py) — works for
     # every trajectory and (with splat_fallback='scatter') falls back to
     # the exact scatter path per frame on capacity overflow. 'banded' |
-    # 'routed' (CSR one-hot kernel) | 'delta' | 'pallas' (legacy window
-    # kernel) | 'scatter' | 'sorted' force an implementation.
+    # 'routed' (CSR one-hot kernel) | 'scatter' force an implementation;
+    # 'delta' | 'pallas' run the superseded generations in
+    # ops/legacy/ (documented history, not live capability).
     splat_method: str = "auto"
     # Bounded per-chunk scatter capacity of the posed/banded frame-loop
     # renderer: chunks whose window work exceeds the kernel budget render

@@ -97,7 +97,9 @@ class Disparity(nn.Module):
         stem = nn.Conv(self.rows[0], (7, 7), strides=(2, 2),
                        padding=((3, 3), (3, 3)), dtype=self.dtype,
                        param_dtype=jnp.float32, name="stem_image")(x)
-        sem = _conv(512, dtype=self.dtype,
+        # projects the 512-ch VGG semantics onto row 3 (rows[3] == 512 for
+        # the reference architecture; narrow test lattices project down)
+        sem = _conv(self.rows[3], dtype=self.dtype,
                     name="stem_semantics")(semantics.astype(self.dtype))
 
         column = [stem]

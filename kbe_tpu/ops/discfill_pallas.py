@@ -744,7 +744,8 @@ def fill_disocclusion_pallas(image: jax.Array, depth: jax.Array,
                              phase1_steps: int = 0,
                              roi: Optional[Tuple[int, int, int, int]] = None,
                              interpret: bool | None = None,
-                             phase0_steps: int = 0) -> jax.Array:
+                             phase0_steps: int = 0,
+                             phase0_gate: float = 0.0) -> jax.Array:
     """Drop-in Pallas implementation of ops/discfill.py:fill_disocclusion.
 
     ``image``: (B, H, W, C); ``depth``: (B, H, W, 1); holes are depth <= 0.
@@ -764,6 +765,14 @@ def fill_disocclusion_pallas(image: jax.Array, depth: jax.Array,
     per-tile march with ~32*phase0_steps shifted compares. Bit-identical
     by the resolver's soundness bound.
 
+    ``phase0_gate`` (0 disables) makes phase 0 a runtime ``lax.cond`` on a
+    cheap hole census: the resolver — whose full-image epilogue costs a
+    flat ~20 ms at 1024² — runs only when the fraction of hole-bearing
+    tiles exceeds the gate (the regime where it pays: a saturated march
+    is linear in hole tiles, the resolver is flat), so realistic scenes
+    (few hole tiles) keep the plain gated-march cost and noisy scenes get
+    the resolver win, in one compiled program. Bit-identical either way.
+
     ``roi``: static (y0, y1, x0, x1) — pixels outside are treated as
     non-holes (left untouched); in-ROI results stay bit-identical to the
     full fill because march sources are unchanged.
@@ -781,8 +790,43 @@ def fill_disocclusion_pallas(image: jax.Array, depth: jax.Array,
             h, w = img_b.shape[0], img_b.shape[1]
             n_ty = _ceil_to(h, TILE_H) // TILE_H
             n_tx = _ceil_to(w, TILE_W) // TILE_W
-            filled0, unresolved = resolve_thin_holes(img_b, depth_b,
-                                                     phase0_steps, roi)
+
+            hole = depth_b[..., 0] <= 0.0
+            if roi is not None:
+                y0, y1, x0, x1 = roi
+                yy_r = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+                xx_r = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+                hole = hole & ((yy_r >= y0) & (yy_r < y1) & (xx_r >= x0)
+                               & (xx_r < x1))
+
+            if phase0_gate > 0.0:
+                # hole census: fraction of ROI-intersecting tiles holding
+                # a hole — the quantity the gated march's cost is linear
+                # in (the resolver's epilogue is flat, so it only pays in
+                # the saturated-march regime). The cond picks resolver vs
+                # passthrough ONLY; the march kernels below are compiled
+                # once and consume either result (a cond over two whole
+                # fill programs doubled XLA compile and crashed the CPU
+                # backend at full size).
+                if roi is not None:
+                    n_roi = (((min(y1, h) - 1) // TILE_H - y0 // TILE_H
+                              + 1) * ((min(x1, w) - 1) // TILE_W
+                                      - x0 // TILE_W + 1))
+                else:
+                    n_roi = n_ty * n_tx
+                frac = (jnp.sum(_tile_flags(hole, h, w, n_ty, n_tx))
+                        / float(max(n_roi, 1)))
+                # passthrough: nothing resolved — every in-ROI hole goes
+                # to the gated march, which re-marches flagged tiles from
+                # the ORIGINAL planes (== the plain two-phase schedule)
+                filled0, unresolved = lax.cond(
+                    frac > phase0_gate,
+                    lambda: resolve_thin_holes(img_b, depth_b,
+                                               phase0_steps, roi),
+                    lambda: (img_b, hole))
+            else:
+                filled0, unresolved = resolve_thin_holes(img_b, depth_b,
+                                                         phase0_steps, roi)
             flags0 = _tile_flags(unresolved, h, w, n_ty, n_tx)
 
             def run_marches(_):

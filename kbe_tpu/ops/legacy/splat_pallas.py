@@ -1,6 +1,6 @@
 """Pallas TPU splat renderer — dense tiled one-hot/MXU formulation.
 
-The scatter (ops/splat.py) and sort (ops/splat_sorted.py) renderers are
+The scatter (ops/splat.py) and (since-deleted) sort renderers are
 bound by the chip's irregular-memory throughput (~10M updates/s measured on
 v5e). This kernel turns the irregular scatter into dense on-chip work:
 

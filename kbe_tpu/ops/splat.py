@@ -142,9 +142,10 @@ def _render_single(xyz, data, valid, height: int, width: int, focal,
 
 
 # Renderer implementation used when ``method`` is not given. Measured on a
-# v5e: the scatter formulation is ~2x faster than the sort-based one at all
-# tested sizes (both are bound by the chip's irregular-memory throughput);
-# the Pallas tiled kernel (ops/splat_pallas.py) is the real fast path.
+# v5e: the scatter formulation was ~2x faster than the (since-deleted)
+# sort-based one at all tested sizes (both bound by the chip's
+# irregular-memory throughput); the production fast path is the posed
+# banded Pallas kernel (ops/splat_posed.py).
 DEFAULT_SPLAT_METHOD = "scatter"
 
 
@@ -176,11 +177,9 @@ def render_pointcloud(
     """
     if method is None:
         method = DEFAULT_SPLAT_METHOD
-    if method == "sorted":
-        from kbe_tpu.ops.splat_sorted import render_pointcloud_sorted
-
-        return render_pointcloud_sorted(xyz, data, height, width, focal,
-                                        baseline, valid)
+    if method != "scatter":
+        raise ValueError(f"unknown splat method {method!r} (the sort-based "
+                         "renderer was removed; use 'scatter')")
     if valid is None:
         valid = jnp.ones(xyz.shape[:2], dtype=xyz.dtype)
     fn = lambda p, d, m: _render_single(p, d, m, height, width, focal,

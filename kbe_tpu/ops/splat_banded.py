@@ -3,7 +3,7 @@
 Same semantics as the reference CUDA point renderer (utils/common.py:
 ``kernel_pointrender_updateZee`` :434-521, ``updateDegrid`` :524-582,
 ``updateOutput`` :585-686), golden-tested against ops/splat.py. Successor
-to ops/splat_delta.py, designed from its measured cost profile: the delta
+to ops/legacy/splat_delta.py, designed from its measured cost profile: the delta
 kernel spends most of its time in *per-delta dynamic-offset placements*
 (scalar loop overhead + two dynamic rolls + a VMEM read-modify-write per
 (delta_y, delta_x) pair, times channels), so chunks whose points spread

@@ -3,7 +3,7 @@
 Same semantics as the reference CUDA point renderer (utils/common.py:
 ``kernel_pointrender_updateZee`` :434-521, ``updateDegrid`` :524-582,
 ``updateOutput`` :585-686), golden-tested against ops/splat.py. Replaces
-the window-scan kernel (ops/splat_pallas.py) whose HBM traffic and compute
+the window-scan kernel (ops/legacy/splat_pallas.py) whose HBM traffic and compute
 scale with the *trajectory displacement bound*: every tile re-read and
 re-scanned a (tile + 2*margin) window, an ~80x read amplification at
 1024^2. Here the work scales with the *actual* per-frame point

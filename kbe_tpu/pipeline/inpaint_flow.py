@@ -94,7 +94,7 @@ def pointcloud_inpainting(
         # 'banded' streams the 68-channel payload through the wide banded
         # kernel in groups of 8 — much faster than the routed one-hot
         # pass it replaces.
-        if splat_method in ("scatter", "sorted"):
+        if splat_method == "scatter":
             from kbe_tpu.ops.splat import render_pointcloud
 
             render, weight = render_pointcloud(

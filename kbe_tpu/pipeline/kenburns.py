@@ -134,6 +134,7 @@ def build_effect_fn(
     pretrained_refine: bool = False,
     partial_inpainting: bool = False,
     dtype: Any = jnp.float32,
+    depth_dtype: Any = None,
     with_stats: bool = False,
 ) -> Callable:
     """Build the jittable ``effect(params, image) -> frames`` function.
@@ -147,15 +148,26 @@ def build_effect_fn(
     they render exactly via the bounded scatter epilogue) or CSR routing
     overflow. With splat_fallback='clip' such frames silently lost
     splats; with 'scatter' they were re-rendered exactly.
+
+    ``dtype`` is the compute dtype of the inpainting stack (context +
+    inpaint nets); ``depth_dtype`` (default: same as ``dtype``) is the
+    compute dtype of the geometry-driving depth path (semantics,
+    disparity, refine). bf16 depth rounds disparity to an 8-bit mantissa,
+    which becomes a displacement-scaled pixel-position error in every
+    posed render (the reference runs f32 end-to-end,
+    utils/pipeline.py:74-84) — the production mixed policy is therefore
+    f32 depth + bf16 inpainting. Params are f32 either way.
     """
     if height % 4 or width % 4:
         raise ValueError("image dims must be multiples of 4 (kbe.py:108-114)")
     zoom.validate(width, height)
 
-    sem_def = Semantics(dtype=dtype)
-    disp_def = Disparity(dtype=dtype)
+    if depth_dtype is None:
+        depth_dtype = dtype
+    sem_def = Semantics(dtype=depth_dtype)
+    disp_def = Disparity(dtype=depth_dtype)
     refine_def = (RefinePretrained if pretrained_refine else Refine)(
-        dtype=dtype)
+        dtype=depth_dtype)
     ctx_def = ContextNet(dtype=dtype)
     inpaint_def = (PartialInpaint if partial_inpainting else Inpaint)(
         dtype=dtype)
@@ -214,6 +226,10 @@ def build_effect_fn(
 
         # --- refinement to full resolution + normalization (:78-81)
         disparity = refine_def.apply(params.refine, image, disp_half)
+        # geometry precision boundary: everything downstream of the nets
+        # (normalization, depth reciprocal, unprojection, shift solve)
+        # accumulates in f32 regardless of the nets' compute dtype
+        disparity = disparity.astype(jnp.float32)
         disparity = disparity - jnp.minimum(jnp.min(disparity), 0.0)
         disparity = disparity / jnp.max(disparity) * camera.baseline
 
@@ -252,8 +268,7 @@ def build_effect_fn(
                     models, image, disparity, effect.inpaint_overshoot
                     * shift, camera, camera.focal,
                     effect.validity_threshold,
-                    splat_method=("scatter" if splat in ("scatter",
-                                                         "sorted")
+                    splat_method=("scatter" if splat == "scatter"
                                   else "banded" if splat == "banded"
                                   else "routed"),
                     relayout_context=(dtype == jnp.bfloat16))
@@ -308,8 +323,8 @@ def build_effect_fn(
                         lambda _: (render, weight), operand=None)
             elif splat == "delta":
                 xyz = apply_shift(cloud_xyz, shift)
-                from kbe_tpu.ops.splat_delta import render_grids_delta, \
-                    render_grids_fast_delta
+                from kbe_tpu.ops.legacy.splat_delta import \
+                    render_grids_delta, render_grids_fast_delta
 
                 _, _, overflow = render_grids_delta(
                     xyz, data, height, width, focal, camera.baseline,
@@ -330,7 +345,8 @@ def build_effect_fn(
                     valid=cloud_valid, fallback=effect.splat_fallback)
             elif splat == "pallas":
                 xyz = apply_shift(cloud_xyz, shift)
-                from kbe_tpu.ops.splat_pallas import render_grids_pallas
+                from kbe_tpu.ops.legacy.splat_pallas import \
+                    render_grids_pallas
 
                 render, weight = render_grids_pallas(
                     xyz, data, height, width, focal, camera.baseline,
@@ -351,7 +367,8 @@ def build_effect_fn(
                 filled = fill_disocclusion_pallas(
                     render, render_depth, effect.fill_march_steps,
                     phase1_steps=effect.fill_march_phase1, roi=fill_roi,
-                    phase0_steps=effect.fill_phase0)
+                    phase0_steps=effect.fill_phase0,
+                    phase0_gate=effect.fill_phase0_gate)
             # uint8 quantization happens BEFORE crop in the reference
             # (utils/common.py:255 astype truncates), and the uint8 cv2
             # crop + resize each round-to-nearest (:256-257) — reproduce
@@ -393,6 +410,7 @@ class KenBurnsPipeline:
     pretrained_refine: bool = False
     partial_inpainting: bool = False
     dtype: Any = jnp.float32
+    depth_dtype: Any = None
     _cache: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
@@ -442,7 +460,8 @@ class KenBurnsPipeline:
         if key not in self._cache:
             fn = build_effect_fn(
                 height, width, zoom, self.camera, self.effect,
-                self.pretrained_refine, self.partial_inpainting, self.dtype)
+                self.pretrained_refine, self.partial_inpainting, self.dtype,
+                self.depth_dtype)
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 

@@ -85,7 +85,12 @@ class TrainerDepth:
 
     def __post_init__(self):
         self.semantics = Semantics(dtype=self.dtype)
-        self.disparity = Disparity(dtype=self.dtype)
+        # 'disparity_rows' (default: the reference architecture) lets
+        # sharding/integration tests train a narrow lattice — identical
+        # step/collective semantics at a fraction of the compile cost
+        rows = self.hparams.get("disparity_rows")
+        self.disparity = (Disparity(dtype=self.dtype, rows=tuple(rows))
+                          if rows else Disparity(dtype=self.dtype))
         self.refine = Refine(dtype=self.dtype)
         self.writer = MetricsWriter(self.logs_path)
         self.iter_nb = 0

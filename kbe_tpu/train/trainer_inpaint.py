@@ -91,8 +91,13 @@ class TrainerInpaint:
         self.partial = self.hparams.get(
             "model_to_train", "inpainting") == "partial inpainting"
         self.context_def = ContextNet(dtype=self.dtype)
-        self.net_def = (PartialInpaint if self.partial else Inpaint)(
-            dtype=self.dtype)
+        # 'inpaint_rows' (default: the reference architecture) lets
+        # sharding/integration tests train a narrow grid-net — identical
+        # step/collective semantics at a fraction of the 1-core cost
+        rows = self.hparams.get("inpaint_rows")
+        net_cls = PartialInpaint if self.partial else Inpaint
+        self.net_def = (net_cls(dtype=self.dtype, rows=tuple(rows))
+                        if rows else net_cls(dtype=self.dtype))
         self.vgg_def = VGG16Features(dtype=self.dtype)
         self.disc_def = MPDDiscriminator(spectral_norm=True,
                                          dtype=self.dtype)

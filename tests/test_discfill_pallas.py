@@ -6,6 +6,13 @@ import jax.numpy as jnp
 from kbe_tpu.ops.discfill import fill_disocclusion
 from kbe_tpu.ops.discfill_pallas import fill_disocclusion_pallas
 
+import pytest
+
+# interpret-mode compiles of the fused march kernels run minutes
+# apiece on a 1-core host; the fast tier pins fill semantics via the
+# XLA spec tests in test_ops + the pipeline smoke (VERDICT r4 #6)
+pytestmark = pytest.mark.slow
+
 
 def _scene(h, w, seed=0, hole_frac=0.15):
     rng = np.random.default_rng(seed)
@@ -123,6 +130,26 @@ def test_fill_phase0_wide_hole_exact():
     want = fill_disocclusion(img, depth, 64)
     got = fill_disocclusion_pallas(img, depth, 64, phase1_steps=8,
                                    phase0_steps=2)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_fill_phase0_census_gate_both_branches():
+    # the census-gated lax.cond must be bit-identical to the full march
+    # whichever branch fires: a noisy scene (most tiles hold holes) takes
+    # the phase-0 branch, a sparse scene takes the plain two-phase branch
+    noisy, depth_noisy = _scene(48, 256, seed=11, hole_frac=0.12)
+    want = fill_disocclusion(noisy, depth_noisy, 32)
+    got = fill_disocclusion_pallas(noisy, depth_noisy, 32, phase1_steps=8,
+                                   phase0_steps=2, phase0_gate=0.25)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    img, depth = _scene(48, 256, seed=12, hole_frac=0.0)
+    depth_np = np.asarray(depth).copy()
+    depth_np[0, 30:33, 60:70] = 0.0  # one small hole -> census below gate
+    depth = jnp.asarray(depth_np)
+    want = fill_disocclusion(img, depth, 32)
+    got = fill_disocclusion_pallas(img, depth, 32, phase1_steps=8,
+                                   phase0_steps=2, phase0_gate=0.25)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 

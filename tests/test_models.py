@@ -154,3 +154,24 @@ def test_disparity_grads_flow():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_narrow_lattice_variants():
+    """The dryrun/test-tier narrow grids (Disparity.rows / Inpaint.rows
+    overrides) must run with the semantics projection mapped onto
+    rows[3] — identical topology to the reference-width nets."""
+    from kbe_tpu.models import Inpaint
+
+    m = Disparity(rows=(8, 12, 16, 32))
+    img = jax.random.uniform(KEY, (1, 64, 64, 3))
+    sem = jax.random.uniform(KEY, (1, 4, 4, 512))
+    params = m.init(KEY, img, sem)
+    out = m.apply(params, img, sem)
+    assert out.shape == (1, 32, 32, 1)
+
+    inp = Inpaint(rows=(8, 16, 24, 32))
+    data = jax.random.uniform(KEY, (1, 32, 32, 68))
+    mask = jnp.ones((1, 32, 32, 1))
+    p = inp.init(KEY, data, mask)
+    im, dsp = inp.apply(p, data, mask)
+    assert im.shape == (1, 32, 32, 3) and dsp.shape == (1, 32, 32, 1)

@@ -284,49 +284,6 @@ def test_crop_rect_subpix_mm_matches_gather():
         np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_sorted_renderer_matches_scatter():
-    from kbe_tpu.ops.splat import render_pointcloud
-
-    h, w, focal, baseline = 12, 16, 24.0, 30.0
-    pts = _random_cloud(5, 400, h, w, focal)
-    pts[:5, 2] = 0.0
-    data = rng(6).uniform(0, 1, (400, 4)).astype(np.float32)
-    valid = (rng(7).uniform(0, 1, (1, 400)) > 0.2).astype(np.float32)
-    a_img, a_wt = render_pointcloud(jnp.asarray(pts)[None],
-                                    jnp.asarray(data)[None], h, w, focal,
-                                    baseline, valid=jnp.asarray(valid),
-                                    method="scatter")
-    b_img, b_wt = render_pointcloud(jnp.asarray(pts)[None],
-                                    jnp.asarray(data)[None], h, w, focal,
-                                    baseline, valid=jnp.asarray(valid),
-                                    method="sorted")
-    # summation order differs; the 1e-7-weight division amplifies tiny
-    # differences at barely-covered pixels
-    np.testing.assert_allclose(np.asarray(a_img), np.asarray(b_img),
-                               atol=2e-3, rtol=2e-3)
-    np.testing.assert_allclose(np.asarray(a_wt), np.asarray(b_wt),
-                               atol=2e-3, rtol=2e-3)
-
-
-def test_sorted_renderer_giant_segment_precision():
-    """200k points on one pixel: segment sums must not lose precision to
-    f32 prefix cancellation (double-single block prefixes)."""
-    from kbe_tpu.ops.splat import render_pointcloud
-
-    h, w, focal, baseline = 4, 4, 8.0, 10.0
-    n = 200_000
-    z = np.full(n, 20.0, np.float32)
-    u = np.full(n, 1.0, np.float32)
-    v = np.full(n, 1.0, np.float32)
-    pts = np.stack([(u - .5 * w + .5) * z / focal,
-                    (v - .5 * h + .5) * z / focal, z], -1)[None]
-    data = np.full((1, n, 2), 0.5, np.float32)
-    img, wt = render_pointcloud(jnp.asarray(pts), jnp.asarray(data), h, w,
-                                focal, baseline, method="sorted")
-    assert abs(float(wt[0, 1, 1, 0]) - n) < n * 1e-6
-    assert abs(float(img[0, 1, 1, 0]) - 0.5) < 1e-4
-
-
 def test_relayout_identity_for_bf16_values():
     from kbe_tpu.ops.layout import relayout
 

@@ -10,6 +10,8 @@ from kbe_tpu.ops.splat_banded import (render_grids_banded,
                                       render_grids_fast_banded)
 from tests.test_splat_routed import _scatter, _scene
 
+import pytest
+
 
 def test_banded_matches_scatter():
     h, w, focal, baseline = 48, 256, 100.0, 40.0
@@ -40,6 +42,7 @@ def test_banded_small_image_and_z_shift():
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_banded_wide_spread_chunks():
     # strong depth discontinuities inside chunks: x-spread far beyond one
     # 16-lane window forces multi-window iteration
@@ -65,6 +68,7 @@ def test_banded_wide_spread_chunks():
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_banded_work_limit_bounds_incoherent_chunks():
     # a cloud whose depth is uncorrelated noise spreads each chunk's
     # displacements over hundreds of pixels — the work bound must flag it
@@ -104,6 +108,7 @@ def test_banded_work_limit_bounds_incoherent_chunks():
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_banded_overflow_falls_back_to_scatter():
     # work_limit=1 flags every non-empty chunk regardless of the tile
     # configuration (capacity overflow and overwork share the flag and
@@ -125,6 +130,7 @@ def test_banded_overflow_falls_back_to_scatter():
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_banded_wide_payload_matches_scatter():
     # > 8 payload channels take the wide kernel: per-tile z-buffer built
     # once at group 0, payload planes streamed in groups of 8 (the

@@ -111,7 +111,7 @@ def test_routed_wide_payload_matches_scatter():
 
 
 def test_delta_matches_scatter():
-    from kbe_tpu.ops.splat_delta import render_grids_delta
+    from kbe_tpu.ops.legacy.splat_delta import render_grids_delta
 
     for (h, w, shift, seed) in ((48, 256, (3.7, -2.2, 12.0), 0),
                                 (64, 64, (-2.5, 2.7, -28.0), 3)):

@@ -45,7 +45,9 @@ def nth_set_bit(csum, k):
     n = csum.shape[0]
     lo = jnp.zeros_like(k)
     hi = jnp.full_like(k, n)
-    for _ in range(max(1, int(np.ceil(np.log2(n))))):
+    # search space [0, n] has n+1 candidates -> ceil(log2(n+1)) halvings
+    # (log2(n) is one short when n is an exact power of two)
+    for _ in range(max(1, int(np.ceil(np.log2(n + 1))))):
         mid = (lo + hi) // 2
         v = jnp.take(csum, mid)  # clips at n-1; v < k+1 there when k >= total
         go_right = v < k + 1

@@ -23,15 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, reps=5):
-    out = jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    del out
-    return min(ts) * 1e3
+# shared helper: forces the scalar host fetch that actually synchronizes
+# on the axon backend (plain block_until_ready under-measures there)
+from tools.bench_scene import timeit  # noqa: E402
 
 
 def main():

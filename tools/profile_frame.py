@@ -185,7 +185,7 @@ def main():
     print(f"routed kernel:   {timeit(kern, offsets, rec_csr):8.2f} ms")
 
     # ---- delta full
-    from kbe_tpu.ops import splat_delta as sd
+    from kbe_tpu.ops.legacy import splat_delta as sd
     dfull = jax.jit(lambda x, dd, v: sd.render_grids_delta(
         x, dd, h, w, camera.focal, camera.baseline, v))
     print(f"delta full:      {timeit(dfull, xyz_s, data, valid):8.2f} ms")
