@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--{flag}", type=float, default=None)
     p.add_argument("--steps", type=int, default=75)
     p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--bf16", action="store_true",
+                   help="production precision policy: bf16 inpaint stack, "
+                        "f32 depth path (tools/dtype_sweep.py: 0.996 mean "
+                        "SSIM vs the f32 spec); default is f32 end-to-end")
     return p
 
 
@@ -105,11 +109,15 @@ def main(argv=None) -> int:
     effect = EffectConfig(num_steps=args.steps, fps=args.fps,
                           dolly=args.dolly, two_d=args.two_d)
 
+    import jax.numpy as jnp
+
     pipe = KenBurnsPipeline.create(
         jax.random.PRNGKey(0), h, w, effect=effect,
         pretrained_refine=args.pretrained_refine,
         partial_inpainting=args.partial_conv,
-        inpaint_depth=args.inpaint_depth is not None)
+        inpaint_depth=args.inpaint_depth is not None,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        depth_dtype=jnp.float32 if args.bf16 else None)
 
     if args.checkpoint:
         from kbe_tpu.train.checkpoint import load_checkpoint

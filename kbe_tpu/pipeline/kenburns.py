@@ -420,7 +420,8 @@ class KenBurnsPipeline:
                pretrained_refine: bool = False,
                partial_inpainting: bool = False,
                inpaint_depth: bool = False,
-               dtype: Any = jnp.float32) -> "KenBurnsPipeline":
+               dtype: Any = jnp.float32,
+               depth_dtype: Any = None) -> "KenBurnsPipeline":
         keys = jax.random.split(rng, 7)
         img = jnp.zeros((1, height, width, 3))
         half = jnp.zeros((1, height // 2, width // 2, 3))
@@ -452,7 +453,7 @@ class KenBurnsPipeline:
         return KenBurnsPipeline(camera=camera, effect=effect, params=params,
                                 pretrained_refine=pretrained_refine,
                                 partial_inpainting=partial_inpainting,
-                                dtype=dtype)
+                                dtype=dtype, depth_dtype=depth_dtype)
 
     def effect_fn(self, height: int, width: int,
                   zoom: ZoomSettings) -> Callable:

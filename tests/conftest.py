@@ -50,16 +50,30 @@ if not os.environ.get("KBE_TESTS_ALLOW_TPU"):
 
 
 def _host_cpu_key():
+    # keep in sync with __graft_entry__._host_cpu_key (round-5 fix: jax
+    # version + CPU model lines — cpuinfo flags alone collided across
+    # hosts whose XLA-chosen target features differ, MULTICHIP_r04)
     import hashlib
     import platform
 
-    sig = platform.processor() + platform.machine()
+    import jax
+
+    sig = platform.processor() + platform.machine() + jax.__version__
+    try:
+        import jaxlib
+
+        sig += getattr(jaxlib, "__version__", "")
+    except Exception:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                if line.startswith(("flags", "Features", "model name",
+                                    "model\t", "cpu family", "stepping",
+                                    "vendor_id")):
                     sig += line
-                    break
+                    if line.startswith(("flags", "Features")):
+                        break
     except OSError:
         pass
     return hashlib.sha1(sig.encode()).hexdigest()[:12]

@@ -121,21 +121,37 @@ def main():
         order, count = dp._hole_tile_order(dep, roi, h, w, n_ty, n_tx)
         return planes, order, count
 
-    t_pro = timeit(prologue, img0, dep0)
-    print(f"planes build + tile order:  {t_pro:8.2f} ms")
+    # every row is jitted and reduced ON DEVICE to a scalar before the
+    # timing fetch — a raw array return pays the axon tunnel's ~10 MB/s
+    # host transfer (1.6 s for one 1024^2 x4ch frame) and an unjitted
+    # call dispatches op-by-op through the tunnel; both swamp the
+    # millisecond-scale kernel costs this tool exists to read
+    def row(name, fn, *args):
+        f = jax.jit(lambda *a: jax.tree_util.tree_map(jnp.sum, fn(*a)))
+        print(f"{name:28s}{timeit(f, *args):8.2f} ms", flush=True)
+
+    row("planes build + tile order:", prologue, img0, dep0)
 
     nohole = jnp.ones_like(dep0)
-    t_fix = timeit(lambda a, b: dp._fill_single_gated(a, b, p1, False, roi),
-                   img0, nohole)
-    print(f"gated phase1, zero holes:   {t_fix:8.2f} ms")
-
-    t_p1 = timeit(lambda a, b: dp._fill_single_gated(a, b, p1, False, roi),
-                  img0, dep0)
-    print(f"gated phase1, real frame:   {t_p1:8.2f} ms")
-
-    t_full = timeit(lambda a, b: dp.fill_disocclusion_pallas(
-        a, b, steps, phase1_steps=p1, roi=roi), render, rdepth)
-    print(f"two-phase full schedule:    {t_full:8.2f} ms")
+    row("gated phase1, zero holes:",
+        lambda a, b: dp._fill_single_gated(a, b, p1, False, roi),
+        img0, nohole)
+    row("gated phase1, real frame:",
+        lambda a, b: dp._fill_single_gated(a, b, p1, False, roi),
+        img0, dep0)
+    row("two-phase full schedule:",
+        lambda a, b: dp.fill_disocclusion_pallas(
+            a, b, steps, phase1_steps=p1, roi=roi), render, rdepth)
+    row("census-gated (pipeline):",
+        lambda a, b: dp.fill_disocclusion_pallas(
+            a, b, steps, phase1_steps=p1, roi=roi,
+            phase0_steps=effect.fill_phase0 or 2,
+            phase0_gate=effect.fill_phase0_gate or 0.25), render, rdepth)
+    row("phase0 always-on:",
+        lambda a, b: dp.fill_disocclusion_pallas(
+            a, b, steps, phase1_steps=p1, roi=roi,
+            phase0_steps=effect.fill_phase0 or 2, phase0_gate=0.0),
+        render, rdepth)
 
 
 if __name__ == "__main__":
