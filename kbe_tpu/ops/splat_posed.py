@@ -51,17 +51,34 @@ from kbe_tpu.ops.splat_banded import (
     CHUNK_W,
     PAD_X,
     PAD_Y,
-    TILE_H,
-    TILE_W,
-    _BH,
-    _BW,
+    _HALO_HI,
     _HALO_LO,
-    _RGH,
-    _RGW,
     _RSENT,
     _depth_clusters,
     _shift_band,
 )
+
+# Tile geometry of the POSED kernel, decoupled from splat_banded's
+# TILE_H/W (the wide-payload bootstrap kernel shares those and its
+# group-looped VMEM scratch OOMs past 64-row tiles at 1024^2; the posed
+# kernel's d=5 scratch has headroom). Bigger tiles shrink the CSR
+# routing sort — the measured prepass bottleneck (~6.5 ms of the 7.9 ms
+# per-frame routing cost at 16x2 tiles is lax.sort over t*nc keys) —
+# and halve the per-program grid overhead. Defaults are the measured
+# v5e best; KBE_POSED_TILE_H/W override for sweeps (falling back to
+# KBE_TILE_H/W, then 128x512).
+import os as _os
+
+TILE_H = int(_os.environ.get("KBE_POSED_TILE_H",
+                             _os.environ.get("KBE_TILE_H", "128")))
+TILE_W = int(_os.environ.get("KBE_POSED_TILE_W",
+                             _os.environ.get("KBE_TILE_W", "1024")))
+from kbe_tpu.ops.splat_routed import _ceil_to as __ceil
+
+_RGH = TILE_H + _HALO_LO + _HALO_HI
+_RGW = TILE_W + _HALO_LO + _HALO_HI
+_BH = __ceil(_RGH + PAD_Y + CHUNK_H, CHUNK_H)
+_BW = __ceil(_RGW + PAD_X + 2 * CHUNK_W, 2 * CHUNK_W)
 
 _EPS = 5e-3   # prepass-vs-kernel f32 divergence margin (see module doc)
 _ZMIN = 1e-3  # z cutoff of the reference kernels (utils/common.py:453-455)
@@ -678,7 +695,6 @@ def render_scene_posed(
                       jnp.asarray(sz, jnp.float32), focal, fb])
 
     with_extra = overflow_cap > 0
-    ov = None
     if with_extra:
         from kbe_tpu.ops.splat import _zee_pass
 
@@ -686,16 +702,20 @@ def render_scene_posed(
         lanes = (n_tx - 1) * TILE_W + _BW
         oy = PAD_Y + _HALO_LO
         ox = PAD_X + _HALO_LO
-        ov = _overflow_points(scene, routing, (sx, sy, sz), focal,
-                              jnp.asarray(baseline, jnp.float32), height,
-                              width, c)
         # a data-derived zero so BOTH cond branches share the same
         # varying-manual-axes type under shard_map (n_over is a finite
         # int32, so the product is exactly 0.0)
         vary0 = jnp.asarray(routing.n_over, jnp.float32) * 0.0
 
         def build_plane(_):
-            u, v, err, ok, _pay = ov
+            # the overflow points' gather + projection lives INSIDE the
+            # cond branches (here and extra_acc below): outside it would
+            # gather ~cap x CHUNK_H x CHUNK_W records (~9 MB) and project
+            # them EVERY frame even when nothing overflows — the common
+            # case the epilogue is supposed to be free in
+            u, v, err, ok, _pay = _overflow_points(
+                scene, routing, (sx, sy, sz), focal,
+                jnp.asarray(baseline, jnp.float32), height, width, c)
             zee = _zee_pass(u, v, err, ok, height, width)
             plane = jnp.full((rows, lanes), _BIG, jnp.float32)
             return lax.dynamic_update_slice(plane, zee, (oy, ox))
@@ -761,7 +781,9 @@ def render_scene_posed(
         def extra_acc(_):
             from kbe_tpu.ops.splat import _accumulate_pass
 
-            u, v, err, ok, pay = ov
+            u, v, err, ok, pay = _overflow_points(
+                scene, routing, (sx, sy, sz), focal,
+                jnp.asarray(baseline, jnp.float32), height, width, c)
             acc_o = _accumulate_pass(u, v, err, ok, pay, zee_degrid,
                                      height, width)
             return jnp.moveaxis(acc_o, 0, -1)  # (H, W, d)
