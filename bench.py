@@ -135,7 +135,8 @@ def run_bench(size: int, steps: int, repeats: int):
         overflow[0] = int(stats["splat_overflow_frames"])
         # NOTE: block_until_ready does not actually block on the axon
         # tunnel backend — force synchronization with a scalar host fetch.
-        return float(jnp.sum(frames[:, ::128, ::128, 0]))
+        return float(jnp.sum(frames[:, ::128, ::128, 0]
+                             .astype(jnp.float32)))
 
     _OUT["phase"] = f"compiling_{size}"
     run_once()  # compile + warmup

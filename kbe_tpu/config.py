@@ -111,7 +111,10 @@ class EffectConfig:
     # Pallas kernel marches this far and proves per-pixel stability; only
     # frames with provably-unresolved pixels (holes wider than ~this many
     # pixels) re-run the exact fill_march_steps march under a lax.cond.
-    fill_march_phase1: int = 16
+    # 8 measured +1.0 fps over 16 at 1024^2 (r5); scenes with many
+    # 9..16-px holes trip the phase-2 re-march more often — raise it back
+    # for such content.
+    fill_march_phase1: int = 8
     # Phase-0 radius of the thin-hole resolver (0 disables): hole pixels
     # whose best endpoint pair lies within this radius have a PROVABLY
     # global winner (any direction unresolved at radius r has pair

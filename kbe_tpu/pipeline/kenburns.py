@@ -141,7 +141,7 @@ def build_effect_fn(
 
     ``image``: (1, H, W, 3) in [0, 1] (BGR by cv2 convention unless the
     caller feeds RGB, mirroring kbe.py:96-103). Returns (num_steps, H, W, 3)
-    float frames quantized to the uint8 grid in [0, 255]. With
+    uint8 frames. With
     ``with_stats=True`` returns ``(frames, stats)`` where stats carries
     ``splat_overflow_frames`` — frames that genuinely dropped work:
     overwork chunks BEYOND effect.splat_overflow_chunks (up to the cap
@@ -290,14 +290,31 @@ def build_effect_fn(
         frame_data = jnp.concatenate(
             [cloud_data[..., 0:3], cloud_data[..., 4:5]], axis=-1)
         scene = None
+        routing_all = None
+        steps_j = jnp.asarray(steps, jnp.float32)
+        focals_j = jnp.asarray(focals)
         if splat == "banded":
-            from kbe_tpu.ops.splat_posed import prepare_banded_scene
+            from kbe_tpu.ops.splat_posed import (pose_routing,
+                                                 prepare_banded_scene)
 
             scene = prepare_banded_scene(cloud_xyz, frame_data, cloud_valid)
+            # batched routing prepass: ONE vmapped program routes all
+            # poses (pose_routing is pure XLA — only the Mosaic kernel
+            # rejects vmap), hoisting the per-pose dispatch out of the
+            # frame loop; the per-pose slices ride into lax.map as xs
+            shifts_all = jax.vmap(
+                lambda s, f: compute_pose_shift(s, f, anchor, zoom,
+                                                camera, width, height)
+            )(steps_j, focals_j)
+            routing_all = jax.vmap(
+                lambda sh, f: pose_routing(
+                    scene, sh, f, height, width,
+                    overflow_cap=effect.splat_overflow_chunks)
+            )(shifts_all, focals_j)
 
         # --- pose loop: render -> fill -> quantize -> crop -> resize
         def render_frame(args):
-            step, focal = args
+            step, focal = args[0], args[1]
             shift = compute_pose_shift(step, focal, anchor, zoom, camera,
                                        width, height)
             data = frame_data
@@ -308,7 +325,8 @@ def build_effect_fn(
 
                 render, weight, overflow = render_scene_posed(
                     scene, shift, focal, height, width, camera.baseline,
-                    overflow_cap=effect.splat_overflow_chunks)
+                    overflow_cap=effect.splat_overflow_chunks,
+                    routing=args[2])
                 if effect.splat_fallback == "scatter":
                     def _scatter_fb(_):
                         xyz_fb = apply_shift(cloud_xyz, shift)
@@ -378,10 +396,15 @@ def build_effect_fn(
                                         height / 2.0)
             patch = jnp.clip(jnp.round(patch), 0.0, 255.0)
             out = resize_bilinear(patch[None], height, width)[0]
-            out = jnp.clip(jnp.round(out), 0.0, 255.0)
+            # emit uint8: the values are already exact uint8-grid floats,
+            # and materializing 75 frames as f32 writes ~950 MB of HBM
+            # per video that the uint8 contract never needed
+            out = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
             return out, overflow
 
-        xs = (jnp.asarray(steps, jnp.float32), jnp.asarray(focals))
+        xs = (steps_j, focals_j)
+        if routing_all is not None:
+            xs = xs + (routing_all,)
         # The Pallas kernels (renderers AND the disocclusion fill) cannot
         # run under vmap (ANY-space refs / scalar prefetch), and the fill
         # is in the frame body on every path — so frames go sequentially.

@@ -75,12 +75,12 @@ def main():
         fn = jax.jit(build_effect_fn(h, w, zoom, pipe.camera, effect,
                                      with_stats=True, **kw))
         frames, stats = fn(params, image)
-        float(jnp.sum(frames[:, ::64, ::64, 0]))  # sync (axon: see bench.py)
+        float(jnp.sum(frames[:, ::64, ::64, 0].astype(jnp.float32)))  # sync
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             frames, stats = fn(params, image)
-            float(jnp.sum(frames[:, ::64, ::64, 0]))
+            float(jnp.sum(frames[:, ::64, ::64, 0].astype(jnp.float32)))
             times.append(time.perf_counter() - t0)
         bf = np.asarray(frames, np.float64) / 255.0
         ssims = [float(ssim(jnp.asarray(bf[i][None], jnp.float32),

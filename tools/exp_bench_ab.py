@@ -50,7 +50,8 @@ def main():
 
     def run_once():
         frames, stats = fn(params, image)
-        return float(jnp.sum(frames[:, ::128, ::128, 0]))
+        return float(jnp.sum(frames[:, ::128, ::128, 0]
+                             .astype(jnp.float32)))
 
     t0 = time.time()
     run_once()

@@ -57,15 +57,17 @@ def main():
     from kbe_tpu.train.data import demo_scene_image
 
     camera = CameraConfig()
+    # production precision mix (bench.py): f32 depth path, bf16 inpaint
     dtype = jnp.bfloat16
+    depth_dtype = jnp.float32
     ckpt = find_bench_weights()
     assert ckpt, "run tools/make_bench_weights.py first"
     params = jax.device_put(load_pipeline_params(ckpt))
     image = jnp.asarray(demo_scene_image(h, w), jnp.float32)[None]
 
-    sem_def = Semantics(dtype=dtype)
-    disp_def = Disparity(dtype=dtype)
-    refine_def = Refine(dtype=dtype)
+    sem_def = Semantics(dtype=depth_dtype)
+    disp_def = Disparity(dtype=depth_dtype)
+    refine_def = Refine(dtype=depth_dtype)
     ctx_def = ContextNet(dtype=dtype)
     inp_def = Inpaint(dtype=dtype)
 
