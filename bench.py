@@ -20,8 +20,17 @@ smaller size is never silently promoted to the headline.
 
 Environment knobs: KBE_BENCH_SIZE (default "both" = 512 then 1024),
 KBE_BENCH_STEPS (75), KBE_BENCH_REPEATS (3), KBE_BENCH_BUDGET_S (default
-480: skip starting any new measurement once this much wall-clock is
+1380: skip starting any new measurement once this much wall-clock is
 spent, emitting what exists instead of being killed mid-run).
+
+COLD-RUN REALITY (round 5): the axon TPU backend BYPASSES persistent-
+compilation-cache READS for nontrivial programs (entries are written to
+.jax_cache but never loaded — verified with JAX_DEBUG_LOG_MODULES; a
+second process recompiles from scratch). Every driver run is therefore
+a cold compile: ~6-8 min for the 512^2 program + ~5 min for 1024^2 on a
+responsive compile service (one outlier of 42 min was observed). The
+512-first ordering + per-measurement emission + SIGTERM salvage exist
+exactly so a budget-killed run still lands real numbers.
 """
 
 import json
@@ -56,7 +65,7 @@ def _on_term(signum, frame):
 
 
 def _budget() -> float:
-    return float(os.environ.get("KBE_BENCH_BUDGET_S", "480"))
+    return float(os.environ.get("KBE_BENCH_BUDGET_S", "1380"))
 
 
 def _remaining() -> float:

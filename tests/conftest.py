@@ -18,8 +18,15 @@ import sys
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# KBE_TESTS_OPT0=1 compiles at XLA opt-level 0 — measured a WASH for
+# the suite's cold wall time (compile savings are repaid by slower
+# interpret-mode kernel execution: 21:43 vs 22:13 cold, r5); kept as a
+# knob for compile-bound subsets only.
+if os.environ.get("KBE_TESTS_OPT0") and \
+        "xla_backend_optimization_level" not in _flags:
+    _flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = _flags
 
 if not os.environ.get("KBE_TESTS_ALLOW_TPU"):
     import jax
@@ -47,6 +54,13 @@ if not os.environ.get("KBE_TESTS_ALLOW_TPU"):
 #     runs cold-but-safe; tools/run_fast_tier.sh splits the suite into a
 #     torch-free (cached, compile-heavy) and a torch (uncached) process
 #     for a fast CI gate.
+#     ROUND-5 ADDENDUM: cache-READ segfaults were also observed in
+#     torch-free runs of the heavy slow-tier golden files
+#     (test_splat_posed + test_discfill_pallas back to back; crash in
+#     compilation_cache.get_executable_and_time deserializing a large
+#     entry). All tests pass when re-run; for selective runs of those
+#     files prefer KBE_TESTS_NO_CACHE=1. The fast tier's entries are
+#     small and have not exhibited this.
 
 
 def _host_cpu_key():

@@ -10,6 +10,12 @@ and the cv2 preprocessing resize are asserted to produce the same numbers
 as ours on identical inputs.
 """
 
+import pytest
+
+# InceptionV3 compile dominates; FID correctness is also pinned by the
+# training-tier validation tests
+pytestmark = pytest.mark.slow
+
 import sys
 import types
 

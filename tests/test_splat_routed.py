@@ -9,6 +9,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
+# interpret-mode compiles+runs of the CSR one-hot kernel take minutes
+# apiece on a 1-core host; the fast tier pins splat semantics via the
+# scatter spec (test_ops) + the small banded goldens + the pipeline
+# smoke; _scene/_scatter stay importable for the sibling golden files
+pytestmark = pytest.mark.slow
+
 from kbe_tpu.ops.geometry import depth_to_points
 from kbe_tpu.ops.splat import render_pointcloud
 from kbe_tpu.ops.splat_routed import render_grids_fast, render_grids_routed
