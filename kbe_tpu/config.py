@@ -131,16 +131,16 @@ class EffectConfig:
     # fill_phase0 > 0): the resolver runs only on frames where the
     # fraction of hole-bearing fill tiles exceeds this — the saturated-
     # march regime it wins in. Realistic scenes take the passthrough
-    # branch of the lax.cond at unchanged cost (measured: 49.8 fps at
-    # 1024^2 with the gate vs 48.3 with phase 0 compiled out entirely).
-    # Calibration: fill tiles are 64x512, so a thin disocclusion band
-    # flags MANY tiles with few hole pixels each — the bench scene peaks
-    # near 0.3 tile fraction mid-trajectory (march ~5 ms, far below the
-    # resolver's flat ~18 ms epilogue) while noisy-depth scenes sit near
-    # 1.0; the march-vs-resolver cost crossover lands near 0.8. A 0.25
-    # gate misfired the resolver on real endpoint frames (-7.8 ms/frame,
-    # 35 fps); 0.6 separates the regimes with margin on both sides.
-    fill_phase0_gate: float = 0.6
+    # branch of the lax.cond at unchanged cost (measured: the gate costs
+    # nothing vs phase 0 compiled out entirely at 1024^2/75).
+    # Calibration (recheck when KBE_FILL_TILE_H/W change): a thin
+    # disocclusion band flags many tiles with few hole pixels each — the
+    # bench scene peaked near 0.23 tile fraction with 16x256 fill tiles
+    # and sits higher with the round-5 64x256 tiles (coarser census),
+    # while noisy-depth scenes sit near 1.0. A 0.25 gate misfired the
+    # resolver on real endpoint frames (-7.8 ms/frame); 0.75 separates
+    # the regimes with margin at the 64x256 geometry.
+    fill_phase0_gate: float = 0.75
     # 'pallas' (two-phase fused kernel, the default) or 'xla' (pure-XLA
     # march — slower on TPU but compiles fast and runs on any backend;
     # used by CPU-oracle tests).

@@ -49,7 +49,12 @@ from kbe_tpu.ops.discfill import _offset_tables
 
 # Tile geometry, env-overridable for hardware sweeps (read once at
 # import; baked into the kernels at trace time).
-TILE_H = int(os.environ.get("KBE_FILL_TILE_H", "16"))
+# Round-5 sweep at 1024^2/75 in the full pipeline: 16x256 tiles 55.1
+# fps, 32x256 59.3, 64x256 61.5 (per-tile dispatch overhead dominated
+# the gated march), 32x512 regressed to 55.4, 128x256 OOMs VMEM in the
+# phase-2 K=128 march. Bigger tiles coarsen the hole-tile census that
+# EffectConfig.fill_phase0_gate thresholds — recalibrate it if changed.
+TILE_H = int(os.environ.get("KBE_FILL_TILE_H", "64"))
 TILE_W = int(os.environ.get("KBE_FILL_TILE_W", "256"))
 _KCHUNK = 4  # ray steps folded into one while-loop iteration
 
